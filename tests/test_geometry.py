@@ -1,0 +1,204 @@
+"""Geometry invariants: chart round-trips, tetrad orthonormality,
+metric-inverse consistency, observer normalization, cross-chart constants.
+
+Mirrors the reference's property tests (schwarzschild.rs:407-440,
+kerr.rs:527-587, kerr_bl.rs:633-686/1036-1124, gram_schmidt.rs:47-151,
+point.rs tests)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gr_raytracer_tpu.geometry import chart as charts
+from gr_raytracer_tpu.geometry import circular_orbit
+from gr_raytracer_tpu.geometry.base import validate_tetrad
+from gr_raytracer_tpu.geometry.euclidean import EuclideanSpace
+from gr_raytracer_tpu.geometry.euclidean_spherical import EuclideanSpaceSpherical
+from gr_raytracer_tpu.geometry.kerr import Kerr, kerr_metric, kerr_metric_contravariant
+from gr_raytracer_tpu.geometry.kerr_bl import KerrBL, metric_bl, metric_bl_contravariant
+from gr_raytracer_tpu.geometry.schwarzschild import Schwarzschild
+
+
+def geometries():
+    return [
+        EuclideanSpace(),
+        EuclideanSpaceSpherical(),
+        Schwarzschild(radius=jnp.asarray(1.0), horizon_epsilon=jnp.asarray(1e-4)),
+        Kerr(radius=jnp.asarray(1.0), a=jnp.asarray(0.45), horizon_epsilon=jnp.asarray(1e-4)),
+        KerrBL(radius=jnp.asarray(1.0), a=jnp.asarray(0.45), horizon_epsilon=jnp.asarray(1e-4)),
+    ]
+
+
+def sample_points(geometry):
+    cart = jnp.array(
+        [
+            [0.0, 10.0, 0.0, 0.8],
+            [0.0, 3.0, -4.0, 2.0],
+            [0.0, -6.0, 5.0, -3.0],
+            [0.0, 2.0, 2.0, 2.0],
+        ]
+    )
+    return charts.from_cartesian(cart, geometry.chart, geometry.spin)
+
+
+# ---------------------------------------------------------------------------
+# Charts
+# ---------------------------------------------------------------------------
+
+
+def test_spherical_roundtrip():
+    p = jnp.array([0.0, 1.0, 2.0, 3.0])
+    s = charts.cartesian_to_spherical(p)
+    back = charts.spherical_to_cartesian(s)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(p), atol=1e-14)
+
+
+def test_bl_to_cartesian_a_zero_matches_spherical():
+    bl = jnp.array([0.0, 5.0, 1.2, 0.8])
+    np.testing.assert_allclose(
+        np.asarray(charts.bl_to_cartesian(0.0, bl)),
+        np.asarray(charts.spherical_to_cartesian(bl)),
+        atol=1e-12,
+    )
+
+
+def test_bl_to_cartesian_nonzero_a():
+    # Oracle values from the reference test (point.rs:238-251).
+    bl = jnp.array([0.0, 5.0, 1.2, 0.8])
+    cart = np.asarray(charts.bl_to_cartesian(0.5, bl))
+    np.testing.assert_allclose(cart[1], 2.91248746519832302226, atol=1e-10)
+    np.testing.assert_allclose(cart[2], 3.66769851865865170737, atol=1e-10)
+    np.testing.assert_allclose(cart[3], 1.81178877238336810684, atol=1e-10)
+
+
+def test_bl_roundtrip():
+    a = 0.49
+    bl = jnp.array([0.0, 5.0, 1.2, 0.8])
+    cart = charts.bl_to_cartesian(a, bl)
+    back = charts.cartesian_to_bl(a, cart)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(bl), atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Metrics and tetrads
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("geometry", geometries(), ids=lambda g: type(g).__name__)
+def test_tetrad_orthonormal(geometry):
+    x = sample_points(geometry)
+    tet = geometry.tetrad(x)
+    validate_tetrad(geometry, x, tet, tol=1e-9)
+
+
+@pytest.mark.parametrize("geometry", geometries(), ids=lambda g: type(g).__name__)
+def test_metric_matches_inner_product(geometry):
+    x = sample_points(geometry)
+    v = jnp.array([0.3, -1.0, 0.2, 0.7])
+    w = jnp.array([1.1, 0.5, -0.4, 0.9])
+    g = geometry.metric(x)
+    via_metric = jnp.einsum("...ij,i,j->...", g, v, w)
+    vv = jnp.broadcast_to(v, x.shape)
+    ww = jnp.broadcast_to(w, x.shape)
+    np.testing.assert_allclose(
+        np.asarray(geometry.inner_product(x, vv, ww)), np.asarray(via_metric), rtol=1e-12
+    )
+
+
+def test_kerr_analytic_inverse():
+    x = jnp.array([[0.0, 3.0, -4.0, 2.0], [0.0, 1.5, 0.3, -0.8]])
+    g = kerr_metric(1.0, 0.45, x)
+    ginv = kerr_metric_contravariant(1.0, 0.45, x)
+    prod = jnp.einsum("...ij,...jk->...ik", g, ginv)
+    np.testing.assert_allclose(np.asarray(prod), np.broadcast_to(np.eye(4), prod.shape), atol=1e-12)
+
+
+def test_kerr_bl_analytic_inverse():
+    r = jnp.array([3.0, 5.0])
+    theta = jnp.array([1.2, 0.4])
+    g = metric_bl(1.0, 0.45, r, theta)
+    ginv = metric_bl_contravariant(1.0, 0.45, r, theta)
+    prod = jnp.einsum("...ij,...jk->...ik", g, ginv)
+    np.testing.assert_allclose(np.asarray(prod), np.broadcast_to(np.eye(4), prod.shape), atol=1e-12)
+
+
+def test_bl_jacobian_transforms_metric_exactly():
+    """Jᵀ g_KS J = g_BL to machine precision (kerr_bl.rs:633-669) — pins the
+    dt_KS/dr and dφ_KS/dr twist terms."""
+    r_s, a = 1.0, 0.5
+    for (r, theta, phi) in [(5.0, 1.2, 0.7), (8.0, 2.1, -1.3), (2.5, 0.4, 2.9)]:
+        bl = jnp.array([0.0, r, theta, phi])
+        cart = charts.bl_to_cartesian(a, bl)
+        g_ks = kerr_metric(r_s, a, cart)
+        j = charts.jacobian_bl_to_cartesian(r_s, a, jnp.asarray(r), jnp.asarray(theta), jnp.asarray(phi))
+        g_bl = metric_bl(r_s, a, jnp.asarray(r), jnp.asarray(theta))
+        transformed = j.T @ g_ks @ j
+        np.testing.assert_allclose(np.asarray(transformed), np.asarray(g_bl), atol=1e-11)
+
+
+# ---------------------------------------------------------------------------
+# Observers / circular orbits
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "geometry",
+    [g for g in geometries() if type(g).__name__ in ("Schwarzschild", "Kerr", "KerrBL")],
+    ids=lambda g: type(g).__name__,
+)
+def test_observers_normalized(geometry):
+    x = sample_points(geometry)
+    s0 = geometry.signature()[0]
+    for u in [geometry.stationary_velocity(x), geometry.zamo_velocity(x)]:
+        norm = geometry.inner_product(x, u, u)
+        np.testing.assert_allclose(np.asarray(norm), s0, atol=1e-10)
+
+
+def test_zamo_has_zero_angular_momentum():
+    geometry = KerrBL(radius=jnp.asarray(1.0), a=jnp.asarray(0.45), horizon_epsilon=jnp.asarray(1e-4))
+    x = sample_points(geometry)
+    u = geometry.zamo_velocity(x)
+    axial = geometry.axial_killing(x)
+    np.testing.assert_allclose(np.asarray(geometry.inner_product(x, u, axial)), 0.0, atol=1e-12)
+
+
+def test_isco_known_values():
+    # a=0: r_isco = 6M = 3 r_s; near-extremal prograde: -> M (circular_orbit.rs:150-157).
+    np.testing.assert_allclose(float(circular_orbit.r_isco(1.0, 0.0)), 3.0, rtol=1e-12)
+    assert float(circular_orbit.r_isco(1.0, 0.4999999)) == pytest.approx(0.5, rel=1e-2)
+
+
+def test_no_timelike_orbit_inside_photon_sphere():
+    # Schwarzschild photon sphere at 1.5 r_s: no timelike circular orbit below.
+    _, _, ok = circular_orbit.killing_coefficients(1.0, 0.0, jnp.asarray([1.4, 1.6]))
+    assert not bool(ok[0])
+    assert bool(ok[1])
+
+
+def test_circular_orbit_velocity_normalized():
+    geometry = Schwarzschild(radius=jnp.asarray(1.0), horizon_epsilon=jnp.asarray(1e-4))
+    x = jnp.array([[0.0, 4.0, jnp.pi / 2, 0.3], [0.0, 8.0, jnp.pi / 2, 1.0]])
+    u, ok = geometry.circular_orbit_velocity(x)
+    assert bool(jnp.all(ok))
+    norm = geometry.inner_product(x, u, u)
+    np.testing.assert_allclose(np.asarray(norm), 1.0, atol=1e-12)
+
+
+def test_cross_chart_conserved_quantities():
+    """KS-Cartesian and BL (E, L_z) agree for the same physical ray
+    (kerr_bl.rs:930-1034)."""
+    r_s, a = 1.0, 0.45
+    kerr = Kerr(radius=jnp.asarray(r_s), a=jnp.asarray(a), horizon_epsilon=jnp.asarray(1e-4))
+    kbl = KerrBL(radius=jnp.asarray(r_s), a=jnp.asarray(a), horizon_epsilon=jnp.asarray(1e-4))
+
+    bl_x = jnp.array([0.0, 6.0, 1.1, 0.4])
+    # A null-ish test vector in BL; exact nullness is irrelevant for E/L_z.
+    p_bl = jnp.array([1.0, -0.3, 0.05, 0.02])
+    cart_x = charts.bl_to_cartesian(a, bl_x)
+    j = charts.jacobian_bl_to_cartesian(r_s, a, bl_x[1], bl_x[2], bl_x[3])
+    p_cart = j @ p_bl
+
+    c_bl = kbl.constants_of_motion(bl_x, p_bl)
+    c_ks = kerr.constants_of_motion(cart_x, p_cart)
+    np.testing.assert_allclose(float(c_bl["E"]), float(c_ks["E"]), atol=1e-10)
+    np.testing.assert_allclose(float(c_bl["L_z"]), float(c_ks["L_z"]), atol=1e-10)
