@@ -1,0 +1,309 @@
+"""Batched geodesic integrator with fused streaming intersection.
+
+THE key structural difference from the reference: the reference records the
+full trajectory per ray (Vec<Step>, integrator.rs:86-117) and intersects
+post-hoc over consecutive step pairs (scene.rs:141-152). That is O(max_steps)
+memory per ray — unaffordable for 10⁶-step Kerr rays on TPU. Here every ray
+batch advances through ONE lax.while_loop; each accepted step immediately
+tests the (x_prev → x_new) segment against the scene and folds the result
+into a bounded per-ray *event buffer* (ordered along the ray), keeping memory
+O(1) in step count.
+
+Adaptive step control is SIMD-ized: a rejected lane just doesn't advance that
+iteration (rkf45.py). Done lanes are masked out; NaNs never cross lanes.
+
+Stop-reason priority matches integrator.rs:203-268:
+  non-finite position > horizon > trapped orbit > celestial sphere >
+  non-finite momentum.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+from jax import lax
+
+from gr_raytracer_tpu.geometry import chart as charts
+from gr_raytracer_tpu.rendering import rkf45
+
+# Stop codes (order encodes render semantics, not priority).
+RUNNING = 0
+HORIZON = 1  # -> opaque black, Captured
+CELESTIAL = 2  # -> celestial texture, Escaped
+NAN = 3  # -> degenerate ray, Captured (scene.rs:178-190)
+TRAPPED = 4  # closed orbit -> opaque black, Captured
+BUDGET = 5  # max_steps exhausted, no stop reason -> Captured (scene.rs:196-205)
+STEP_FAILED = 6  # controller retry overflow -> default sample (raytracer.rs:232-239)
+
+
+class IntegrationConfig(struct.PyTreeNode):
+    """Integration budget (reference: integrator.rs:46-67, cli defaults
+    cli.rs:10-20). max_steps/max_events/extra_attempts are static."""
+
+    max_radius: jnp.ndarray
+    step_size: jnp.ndarray
+    epsilon: jnp.ndarray
+    max_steps: int = struct.field(pytree_node=False, default=20000)
+    max_events: int = struct.field(pytree_node=False, default=8)
+    # Extra while-loop iterations granted beyond max_steps to absorb
+    # controller retries (rejected trials don't advance a lane's step count).
+    extra_attempts: int = struct.field(pytree_node=False, default=256)
+    track_invariants: bool = struct.field(pytree_node=False, default=False)
+
+
+class IntegrationResult(NamedTuple):
+    y: jnp.ndarray  # [N, 8] final state
+    affine: jnp.ndarray  # [N] affine parameter reached
+    steps: jnp.ndarray  # [N] accepted step count
+    stop_code: jnp.ndarray  # [N] int32
+    ev_kind: jnp.ndarray  # [N, K] int32 object index, -1 = empty
+    ev_data: jnp.ndarray  # [N, K, D] per-event payload
+    ev_count: jnp.ndarray  # [N]
+    ev_overflow: jnp.ndarray  # [N] bool — events dropped (buffer full)
+    kk_drift: jnp.ndarray  # [N] max |k·k| along ray (0 if untracked)
+    const_drift: jnp.ndarray  # [N, C] max relative drift of conserved scalars
+
+
+def integrate_rays(
+    geometry,
+    solver,
+    cfg: IntegrationConfig,
+    y0: jnp.ndarray,
+    segment_fn: Callable,
+    event_width: int,
+):
+    """Integrate a batch of rays, streaming segment events.
+
+    segment_fn(x_prev, cart_prev, p_prev, x_new, cart_new, p_new)
+        -> (hit [N] bool, kind [N] int32, data [N, event_width])
+    is called once per accepted step with native-chart positions, their
+    Cartesian embeddings, and contravariant momenta at both segment ends. It
+    must be NaN-tolerant (hit=False on NaN input).
+    """
+    chart = solver.chart
+    spin = geometry.spin
+    n = y0.shape[0]
+    dtype = y0.dtype
+    k_ev = cfg.max_events
+
+    x0 = y0[..., :4]
+    p0_contra = solver.momentum(y0)
+    cart0 = charts.to_cartesian(x0, chart, spin)
+
+    if cfg.track_invariants:
+        init_consts = geometry.constants_of_motion(x0, p0_contra)
+        const_names = sorted(init_consts.keys())
+        init_const_vec = (
+            jnp.stack([init_consts[k] for k in const_names], axis=-1)
+            if const_names
+            else jnp.zeros((n, 0), dtype)
+        )
+    else:
+        const_names = []
+        init_const_vec = jnp.zeros((n, 0), dtype)
+    n_consts = init_const_vec.shape[-1]
+
+    max_radius_sq = cfg.max_radius * cfg.max_radius
+
+    carry0 = dict(
+        y=y0,
+        t=jnp.zeros((n,), dtype),
+        h=jnp.clip(jnp.full((n,), cfg.step_size, dtype), rkf45.H_MIN, rkf45.H_MAX),
+        steps=jnp.zeros((n,), jnp.int32),
+        retries=jnp.zeros((n,), jnp.int32),
+        stop=jnp.zeros((n,), jnp.int32),
+        cart_prev=cart0,
+        p_prev=p0_contra,
+        ev_kind=jnp.full((n, k_ev), -1, jnp.int32),
+        ev_data=jnp.zeros((n, k_ev, event_width), dtype),
+        ev_count=jnp.zeros((n,), jnp.int32),
+        ev_overflow=jnp.zeros((n,), bool),
+        attempts=jnp.zeros((), jnp.int32),
+        kk_drift=jnp.zeros((n,), dtype),
+        const_drift=jnp.zeros((n, n_consts), dtype),
+    )
+
+    max_attempts = cfg.max_steps + cfg.extra_attempts
+
+    def cond(c):
+        return jnp.any(c["stop"] == RUNNING) & (c["attempts"] < max_attempts)
+
+    def body(c):
+        active = c["stop"] == RUNNING
+        y, h = c["y"], c["h"]
+
+        y_trial, err = rkf45.rkf45_step(solver.rhs, y, h)
+        accept, h_acc, h_rej = rkf45.controller(h, err, cfg.epsilon)
+
+        retry_overflow = (~accept) & (c["retries"] + 1 >= rkf45.MAX_RETRIES)
+        adv = active & accept
+        rejected = active & ~accept
+
+        y_new = jnp.where(adv[:, None], y_trial, y)
+        t_new = jnp.where(adv, c["t"] + h, c["t"])
+        h_new = jnp.where(active, jnp.where(accept, h_acc, h_rej), h)
+        retries = jnp.where(adv, 0, jnp.where(rejected, c["retries"] + 1, c["retries"]))
+        steps = c["steps"] + adv.astype(jnp.int32)
+
+        # --- stop determination (priority order, integrator.rs:203-268) ----
+        xn = y_new[..., :4]
+        pos_finite = jnp.all(jnp.isfinite(xn), axis=-1)
+        horizon = geometry.inside_horizon(xn)
+        trapped = geometry.closed_orbit(xn, steps, cfg.max_steps)
+        cart_new = charts.to_cartesian(xn, chart, spin)
+        rho_sq = cart_new[..., 1] ** 2 + cart_new[..., 2] ** 2 + cart_new[..., 3] ** 2
+        escaped = rho_sq > max_radius_sq
+        mom_finite = jnp.all(jnp.isfinite(y_new[..., 4:8]), axis=-1)
+
+        code = jnp.full_like(c["stop"], RUNNING)
+        code = jnp.where(~mom_finite, NAN, code)
+        code = jnp.where(escaped, CELESTIAL, code)
+        code = jnp.where(trapped, TRAPPED, code)
+        code = jnp.where(horizon, HORIZON, code)
+        code = jnp.where(~pos_finite, NAN, code)
+        # Budget exhausted without a stop reason (the reference's `None`).
+        code = jnp.where((code == RUNNING) & (steps >= cfg.max_steps - 1), BUDGET, code)
+
+        new_stop = jnp.where(adv, code, c["stop"])
+        new_stop = jnp.where(rejected & retry_overflow, STEP_FAILED, new_stop)
+
+        # --- streaming intersection on the accepted segment ----------------
+        p_new = solver.momentum(y_new)
+        hit, kind, data = segment_fn(
+            y[..., :4], c["cart_prev"], c["p_prev"], xn, cart_new, p_new
+        )
+        store = hit & adv
+        can_store = store & (c["ev_count"] < k_ev)
+        slot = jnp.arange(k_ev, dtype=jnp.int32)[None, :] == c["ev_count"][:, None]
+        slot = slot & can_store[:, None]
+        ev_kind = jnp.where(slot, kind[:, None], c["ev_kind"])
+        ev_data = jnp.where(slot[..., None], data[:, None, :], c["ev_data"])
+        ev_count = c["ev_count"] + can_store.astype(jnp.int32)
+        ev_overflow = c["ev_overflow"] | (store & (c["ev_count"] >= k_ev))
+
+        cart_prev = jnp.where(adv[:, None], cart_new, c["cart_prev"])
+        p_prev = jnp.where(adv[:, None], p_new, c["p_prev"])
+
+        # --- optional invariant-drift monitor (integrator.rs:91-146) -------
+        kk_drift = c["kk_drift"]
+        const_drift = c["const_drift"]
+        if cfg.track_invariants:
+            kk = jnp.abs(geometry.inner_product(xn, p_new, p_new))
+            kk_drift = jnp.where(adv, jnp.maximum(kk_drift, kk), kk_drift)
+            if n_consts:
+                cur = geometry.constants_of_motion(xn, p_new)
+                cur_vec = jnp.stack([cur[k] for k in const_names], axis=-1)
+                denom = jnp.where(jnp.abs(init_const_vec) > 1e-12, jnp.abs(init_const_vec), 1.0)
+                drift = jnp.abs(cur_vec - init_const_vec) / denom
+                const_drift = jnp.where(
+                    adv[:, None], jnp.maximum(const_drift, drift), const_drift
+                )
+
+        return dict(
+            y=y_new,
+            t=t_new,
+            h=h_new,
+            steps=steps,
+            retries=retries,
+            stop=new_stop,
+            cart_prev=cart_prev,
+            p_prev=p_prev,
+            ev_kind=ev_kind,
+            ev_data=ev_data,
+            ev_count=ev_count,
+            ev_overflow=ev_overflow,
+            attempts=c["attempts"] + 1,
+            kk_drift=kk_drift,
+            const_drift=const_drift,
+        )
+
+    final = lax.while_loop(cond, body, carry0)
+    # Lanes still RUNNING at the attempt cap: classify as budget-exhausted.
+    stop = jnp.where(final["stop"] == RUNNING, BUDGET, final["stop"])
+    return IntegrationResult(
+        y=final["y"],
+        affine=final["t"],
+        steps=final["steps"],
+        stop_code=stop,
+        ev_kind=final["ev_kind"],
+        ev_data=final["ev_data"],
+        ev_count=final["ev_count"],
+        ev_overflow=final["ev_overflow"],
+        kk_drift=final["kk_drift"],
+        const_drift=final["const_drift"],
+    )
+
+
+def no_objects_segment_fn(event_width: int = 1):
+    """segment_fn for object-free scenes (trajectory export, tests)."""
+
+    def fn(x_prev, cart_prev, p_prev, x_new, cart_new, p_new):
+        n = x_prev.shape[0]
+        return (
+            jnp.zeros((n,), bool),
+            jnp.zeros((n,), jnp.int32),
+            jnp.zeros((n, event_width), x_prev.dtype),
+        )
+
+    return fn
+
+
+def integrate_trajectory(geometry, solver, cfg: IntegrationConfig, y0, max_record: int):
+    """Record a full trajectory for ray-export tooling (render-ray CSV).
+
+    Uses lax.scan with a *fixed* record length — a debug path for a handful of
+    rays, not the render path (the render path never materializes steps).
+    Returns (states [S, N, 8], affine [S, N], valid [S, N], stop [N]).
+    """
+    n = y0.shape[0]
+    dtype = y0.dtype
+
+    carry0 = dict(
+        y=y0,
+        t=jnp.zeros((n,), dtype),
+        h=jnp.clip(jnp.full((n,), cfg.step_size, dtype), rkf45.H_MIN, rkf45.H_MAX),
+        steps=jnp.zeros((n,), jnp.int32),
+        retries=jnp.zeros((n,), jnp.int32),
+        stop=jnp.zeros((n,), jnp.int32),
+    )
+    chart = solver.chart
+    spin = geometry.spin
+    max_radius_sq = cfg.max_radius * cfg.max_radius
+
+    def step(c, _):
+        active = c["stop"] == RUNNING
+        y, h = c["y"], c["h"]
+        y_trial, err = rkf45.rkf45_step(solver.rhs, y, h)
+        accept, h_acc, h_rej = rkf45.controller(h, err, cfg.epsilon)
+        retry_overflow = (~accept) & (c["retries"] + 1 >= rkf45.MAX_RETRIES)
+        adv = active & accept
+        rejected = active & ~accept
+        y_new = jnp.where(adv[:, None], y_trial, y)
+        t_new = jnp.where(adv, c["t"] + h, c["t"])
+        h_new = jnp.where(active, jnp.where(accept, h_acc, h_rej), h)
+        retries = jnp.where(adv, 0, jnp.where(rejected, c["retries"] + 1, c["retries"]))
+        steps = c["steps"] + adv.astype(jnp.int32)
+
+        xn = y_new[..., :4]
+        pos_finite = jnp.all(jnp.isfinite(xn), axis=-1)
+        cart_new = charts.to_cartesian(xn, chart, spin)
+        rho_sq = cart_new[..., 1] ** 2 + cart_new[..., 2] ** 2 + cart_new[..., 3] ** 2
+        mom_finite = jnp.all(jnp.isfinite(y_new[..., 4:8]), axis=-1)
+        code = jnp.full_like(c["stop"], RUNNING)
+        code = jnp.where(~mom_finite, NAN, code)
+        code = jnp.where(rho_sq > max_radius_sq, CELESTIAL, code)
+        code = jnp.where(geometry.closed_orbit(xn, steps, cfg.max_steps), TRAPPED, code)
+        code = jnp.where(geometry.inside_horizon(xn), HORIZON, code)
+        code = jnp.where(~pos_finite, NAN, code)
+        code = jnp.where((code == RUNNING) & (steps >= cfg.max_steps - 1), BUDGET, code)
+        new_stop = jnp.where(adv, code, c["stop"])
+        new_stop = jnp.where(rejected & retry_overflow, STEP_FAILED, new_stop)
+        out = dict(y=y_new, t=t_new, h=h_new, steps=steps, retries=retries, stop=new_stop)
+        return out, (y_new, t_new, adv)
+
+    final, (ys, ts, valid) = lax.scan(step, carry0, None, length=max_record)
+    stop = jnp.where(final["stop"] == RUNNING, BUDGET, final["stop"])
+    return ys, ts, valid, stop
