@@ -52,6 +52,12 @@ class IntegrationConfig(struct.PyTreeNode):
     # controller retries (rejected trials don't advance a lane's step count).
     extra_attempts: int = struct.field(pytree_node=False, default=256)
     track_invariants: bool = struct.field(pytree_node=False, default=False)
+    # Reverse-mode-differentiable loop: a lax.scan over fixed step blocks with
+    # jax.checkpoint on each block (O(attempts/block + block) residual memory
+    # instead of O(attempts)). No early exit — every lane runs the full
+    # attempt budget — so keep it for gradient passes, not plain renders.
+    differentiable: bool = struct.field(pytree_node=False, default=False)
+    checkpoint_block: int = struct.field(pytree_node=False, default=32)
 
 
 class IntegrationResult(NamedTuple):
@@ -135,7 +141,20 @@ def integrate_rays(
         active = c["stop"] == RUNNING
         y, h = c["y"], c["h"]
 
-        y_trial, err = rkf45.rkf45_step(solver.rhs, y, h)
+        if cfg.differentiable:
+            # NaN discipline for reverse mode (SURVEY §7 hard part 4): a lane
+            # that diverged holds NaN state; evaluating the RHS there would
+            # give a NaN Jacobian, and Jᵀ·0 ≠ 0 once J has NaNs. Feed stopped/
+            # non-finite lanes a benign far-field state instead — their
+            # outputs are masked out by `adv` anyway (select VJPs scatter
+            # exact zeros, so the substitution never leaks into gradients).
+            safe_state = jnp.zeros_like(y).at[..., 1].set(10.0)
+            lane_ok = jnp.all(jnp.isfinite(y), axis=-1) & active
+            y_rhs = jnp.where(lane_ok[:, None], y, safe_state)
+        else:
+            y_rhs = y
+
+        y_trial, err = rkf45.rkf45_step(solver.rhs, y_rhs, h)
         accept, h_acc, h_rej = rkf45.controller(h, err, cfg.epsilon)
 
         retry_overflow = (~accept) & (c["retries"] + 1 >= rkf45.MAX_RETRIES)
@@ -220,7 +239,19 @@ def integrate_rays(
             const_drift=const_drift,
         )
 
-    final = lax.while_loop(cond, body, carry0)
+    if cfg.differentiable:
+        block = cfg.checkpoint_block
+
+        @jax.checkpoint
+        def run_block(c):
+            return lax.scan(lambda cc, _: (body(cc), None), c, None, length=block)[0]
+
+        n_blocks = -(-max_attempts // block)
+        final = lax.scan(
+            lambda c, _: (run_block(c), None), carry0, None, length=n_blocks
+        )[0]
+    else:
+        final = lax.while_loop(cond, body, carry0)
     # Lanes still RUNNING at the attempt cap: classify as budget-exhausted.
     stop = jnp.where(final["stop"] == RUNNING, BUDGET, final["stop"])
     return IntegrationResult(

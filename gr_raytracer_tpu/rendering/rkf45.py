@@ -51,7 +51,12 @@ def rkf45_step(rhs, y, h):
 
     y_new = y + _CH[0] * k1 + _CH[2] * k3 + _CH[3] * k4 + _CH[4] * k5 + _CH[5] * k6
     te = _CT[0] * k1 + _CT[2] * k3 + _CT[3] * k4 + _CT[4] * k5 + _CT[5] * k6
-    err = jnp.sqrt(jnp.sum(te * te, axis=-1))
+    # sqrt has an infinite VJP at exactly 0 (which occurs on masked lanes
+    # parked at a stationary safe state); double-where keeps err == 0 there
+    # with a zero gradient instead of 0·inf = NaN.
+    sq = jnp.sum(te * te, axis=-1)
+    pos = sq > 0.0
+    err = jnp.where(pos, jnp.sqrt(jnp.where(pos, sq, 1.0)), 0.0)
     return y_new, err
 
 

@@ -99,7 +99,9 @@ def _segment_fn(scene, freq):
         start = cart_prev[..., 1:4]
         for idx, obj in enumerate(objects):
             hit, t, point, uv = obj.segment_hit(cart_prev, cart_new)
-            dist = jnp.linalg.norm(point - start, axis=-1)
+            # Squared distance: same nearest-hit ordering, no sqrt (whose VJP
+            # is infinite at coincident points).
+            dist = jnp.sum((point - start) ** 2, axis=-1)
             better = hit & (dist < best_dist)
             best_hit = best_hit | hit
             best_dist = jnp.where(better, dist, best_dist)
@@ -145,7 +147,12 @@ def _shade_events(scene, freq, res):
         else:
             u_emit, ok = obj.emitter_velocity(geometry, pos_native)
             emitter_energy = geometry.inner_product(pos_native, u_emit, p_interp)
-            redshift = obs_e / emitter_energy
+            # Empty slots carry zero momentum -> emitter_energy 0 -> redshift
+            # inf; even masked out, an inf primal turns the z^e beaming VJP
+            # into 0·inf = NaN. Double-where keeps masked lanes at z = 1.
+            live = valid & ok & (jnp.abs(emitter_energy) > 0.0)
+            safe_e = jnp.where(live, emitter_energy, 1.0)
+            redshift = jnp.where(live, obs_e / safe_e, 1.0)
             temp = obj.temperature_at(geometry, point_cart4)
             c = obj.texture.color_at_uv(uv[..., 0], uv[..., 1], temp, redshift)
         colors = jnp.where(mask[..., None], c, colors)
@@ -162,11 +169,29 @@ def _celestial_color(scene, freq, solver, res):
     u = 1.0 - (jnp.pi + phi) / (2.0 * jnp.pi)
     v = theta / jnp.pi
 
-    p_last = solver.momentum(res.y)
+    # Sanitize the whole state before raising the index: a NaN lane zeroed
+    # elementwise would put its position at the origin, where the Kerr-Schild
+    # k-vector is 0/0. Park bad lanes at a safe far-field state instead.
+    state_ok = jnp.all(jnp.isfinite(res.y), axis=-1, keepdims=True)
+    safe_state = jnp.zeros_like(res.y).at[..., 1].set(100.0)
+    y_safe = jnp.where(state_ok, res.y, safe_state)
+    p_last = solver.momentum(y_safe)
     p_last = jnp.where(jnp.isfinite(p_last), p_last, 0.0)
-    u_stat = geometry.stationary_velocity(finite_x)
-    emitter_energy = geometry.inner_product(finite_x, u_stat, p_last)
-    redshift = freq.observer_energy / emitter_energy
+    # Captured/horizon lanes end where no stationary observer exists
+    # (1 − f < 0 inside the ergosphere): the sqrt VJP is NaN there even under
+    # a mask. Evaluate the emitter frame at a safe far-field point for every
+    # lane that doesn't use this color.
+    escaped = res.stop_code == integ.CELESTIAL
+    safe_far = jnp.zeros_like(finite_x).at[..., 1].set(100.0)
+    x_emit = jnp.where(escaped[:, None], finite_x, safe_far)
+    u_stat = geometry.stationary_velocity(x_emit)
+    emitter_energy = geometry.inner_product(x_emit, u_stat, p_last)
+    # Only escaped rays use this color; captured/NaN lanes can have a zero or
+    # garbage emitter energy whose inf redshift would NaN the beaming VJP
+    # even under the select mask (0·inf) — pin them to z = 1.
+    live = escaped & jnp.isfinite(emitter_energy) & (jnp.abs(emitter_energy) > 0.0)
+    safe_e = jnp.where(live, emitter_energy, 1.0)
+    redshift = jnp.where(live, freq.observer_energy / safe_e, 1.0)
     return scene.celestial_map.color_at_uv(u, v, scene.celestial_temperature, redshift)
 
 

@@ -58,23 +58,24 @@ def _e_omega_l(r_s, a, r):
 
 
 def _dl_dr(r_s, a, r, isco):
-    """Numerical dL/dr matching the reference's stencils
-    (temperature.rs:132-143): central, forward near the ISCO."""
-    h = 1e-6 * jnp.maximum(r, 1.0)
-    l_p, _ = circular_orbit.conserved_angular_momentum(r_s, a, r + h)
-    l_0, _ = circular_orbit.conserved_angular_momentum(r_s, a, r)
-    l_m, _ = circular_orbit.conserved_angular_momentum(r_s, a, r - h)
-    forward = (l_p - l_0) / h
-    central = (l_p - l_m) / (2.0 * h)
-    return jnp.where(r - h < isco, forward, central)
+    """Exact dL/dr via forward-mode AD. The reference uses central/forward
+    finite-difference stencils with h ≈ 1e-6..1e-10 (temperature.rs:132-143),
+    which collapse in float32 (r + h == r); L(r) is closed-form jnp code, so
+    jvp is exact at any dtype and itself differentiable in (r_s, a)."""
+    import jax
+
+    f = lambda rr: circular_orbit.conserved_angular_momentum(r_s, a, rr)[0]
+    _, d = jax.jvp(f, (r,), (jnp.ones_like(r),))
+    return d
 
 
 def _d_omega_dr(r_s, a, r):
-    h = 1e-10
-    return (
-        circular_orbit.angular_velocity(r_s, a, r + h)
-        - circular_orbit.angular_velocity(r_s, a, r - h)
-    ) / (2.0 * h)
+    """Exact dΩ/dr via forward-mode AD (see _dl_dr)."""
+    import jax
+
+    f = lambda rr: circular_orbit.angular_velocity(r_s, a, rr)
+    _, d = jax.jvp(f, (r,), (jnp.ones_like(r),))
+    return d
 
 
 def _flux_unit_mdot(r_s, a, r, isco):
@@ -126,5 +127,10 @@ def build_disc_temperature(r_s, a, target_temperature, outer_radius, dtype=None)
     k = jnp.arange(NUM_LUT_STEPS, dtype=dtype)
     radii = isco + k * (outer_eff - isco) / (NUM_LUT_STEPS - 1)
     flux = m_dot * _flux_unit_mdot(r_s, a_abs, radii, isco)
-    temps = jnp.power(jnp.maximum(flux / SIGMA_SB, 0.0), 0.25)
+    # flux is exactly 0 at the ISCO grid point and d(x^¼)/dx → ∞ there; the
+    # double-where keeps the zero value AND a finite gradient (the power
+    # branch is evaluated at a safe argument for masked entries).
+    pos = flux / SIGMA_SB > 0.0
+    safe_flux = jnp.where(pos, flux / SIGMA_SB, 1.0)
+    temps = jnp.where(pos, jnp.power(safe_flux, 0.25), 0.0)
     return TemperatureLUT(radii=radii, temps=temps, r_isco=isco)
