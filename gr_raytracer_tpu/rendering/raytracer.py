@@ -1,0 +1,264 @@
+"""Render driver: chunked full-frame render, adaptive supersampling, output.
+
+Reference behavior: src/rendering/raytracer.rs. TPU mapping:
+
+  * Pass 1 traces the (section of the) pixel grid in fixed-size chunks
+    through one jitted trace function (one compile, reused across chunks,
+    passes, and scenes of the same structure).
+  * The 8-neighbor contrast selection (raytracer.rs:386-458) is a cheap
+    stencil — evaluated host-side in numpy, bit-faithful to the reference's
+    pair test including the Michelson epsilon, the luminance floor (explicit
+    or 1e-3 × 99th-percentile), and exclude_background_contrast.
+  * The stratified jitter uses the reference's splitmix64 hash exactly
+    (raytracer.rs:131-159) — computed host-side in uint64 (the TPU f32 path
+    has no 64-bit integers), then the jittered sub-rays are traced in the
+    same chunked device loop and averaged.
+  * Tone mapping runs on device (color.py); PNG via PIL, Radiance .hdr via a
+    small local RGBE writer (raytracer.rs:468-480 uses the image crate).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gr_raytracer_tpu.rendering import camera as cam
+from gr_raytracer_tpu.rendering import color as col
+from gr_raytracer_tpu.rendering import scene as scn
+
+MICHELSON_DENOMINATOR_EPSILON = 1e-4
+RELATIVE_MINIMUM_LUMINANCE_FRACTION = 1e-3
+
+_NEIGHBOR_SHIFTS = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
+
+
+# ---------------------------------------------------------------------------
+# splitmix64 stratified jitter (bit-exact vs raytracer.rs:131-159)
+# ---------------------------------------------------------------------------
+
+
+def mix64(z: np.ndarray) -> np.ndarray:
+    z = np.asarray(z, np.uint64)
+    with np.errstate(over="ignore"):
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def hash_pixel_samples(row, col, k) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        z = mix64(np.asarray(row, np.uint64) + mix64(np.asarray(col, np.uint64) + mix64(np.asarray(k, np.uint64))))
+    return (z >> np.uint64(11)).astype(np.float64) * (1.0 / float(1 << 53))
+
+
+def stratified_sample_offsets(rows: np.ndarray, cols: np.ndarray, samples_per_axis: int):
+    """All n² jittered (dx, dy) offsets for each (row, col): [P, n²] each."""
+    n = samples_per_axis
+    sr, sc = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    idx = (sr * n + sc).ravel()  # [n²]
+    r = rows[:, None]
+    c = cols[:, None]
+    dx = (sc.ravel()[None, :] + hash_pixel_samples(r, c, 2 * idx[None, :])) / n
+    dy = (sr.ravel()[None, :] + hash_pixel_samples(r, c, 2 * idx[None, :] + 1)) / n
+    return dx, dy
+
+
+# ---------------------------------------------------------------------------
+# Adaptive-sampling pixel selection (host stencil, raytracer.rs:386-458)
+# ---------------------------------------------------------------------------
+
+
+def resolve_minimum_luminance(cfg, luminance: np.ndarray) -> float:
+    """Explicit floor, or 1e-3 × the 99th-percentile frame luminance
+    (kth-smallest with k = floor((len−1)·0.99), matching select_nth)."""
+    if cfg.minimum_luminance is not None:
+        return float(cfg.minimum_luminance)
+    flat = luminance.ravel()
+    if flat.size == 0:
+        return 0.0
+    k = int((flat.size - 1) * 0.99)
+    return RELATIVE_MINIMUM_LUMINANCE_FRACTION * float(np.partition(flat, k)[k])
+
+
+def collect_supersample_mask(cfg, luminance, alpha, ray_class, minimum_luminance):
+    """Boolean [H, W] mask of pixels with any triggering 8-neighbor pair."""
+    h, w = luminance.shape
+    mask = np.zeros((h, w), bool)
+    for dr, dc in _NEIGHBOR_SHIFTS:
+        # Valid overlap region between the buffer and its shifted self.
+        rs, re = max(dr, 0), h + min(dr, 0)
+        cs, ce = max(dc, 0), w + min(dc, 0)
+        p_l = luminance[rs:re, cs:ce]
+        p_a = alpha[rs:re, cs:ce]
+        p_k = ray_class[rs:re, cs:ce]
+        q_l = luminance[rs - dr : re - dr, cs - dc : ce - dc]
+        q_a = alpha[rs - dr : re - dr, cs - dc : ce - dc]
+        q_k = ray_class[rs - dr : re - dr, cs - dc : ce - dc]
+
+        class_diff = p_k != q_k
+        lum_contrast = np.abs(p_l - q_l) / (p_l + q_l + MICHELSON_DENOMINATOR_EPSILON)
+        opa_contrast = np.abs(p_a - q_a)
+        visible = np.maximum(p_l, q_l) > minimum_luminance
+        contrast = visible & (
+            (lum_contrast > cfg.luminance_contrast_threshold)
+            | (opa_contrast > cfg.opacity_contrast_threshold)
+        )
+        if cfg.exclude_background_contrast:
+            contrast &= p_k != scn.ESCAPED
+        mask[rs:re, cs:ce] |= class_diff | contrast
+    return mask
+
+
+# ---------------------------------------------------------------------------
+# Chunked tracing
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _trace_chunk(scene, row_f, col_f):
+    x, p = cam.pixel_rays(scene.camera, row_f, col_f)
+    s = scn.trace_rays(scene, x, p)
+    return s.color, s.ray_class
+
+
+def trace_pixels_chunked(scene, row_f, col_f, chunk_size: int, progress: bool = False):
+    """Trace arbitrary (fractional) pixel coords in fixed-size chunks.
+    Returns (color [N, 4], ray_class [N]) as numpy arrays."""
+    n = row_f.shape[0]
+    dtype = np.float32 if scene.camera.position.dtype == jnp.float32 else np.float64
+    colors = np.zeros((n, 4), dtype)
+    classes = np.zeros((n,), np.int32)
+    t_start = time.time()
+    for start in range(0, n, chunk_size):
+        end = min(start + chunk_size, n)
+        rf = np.full((chunk_size,), row_f[0], dtype)
+        cf = np.full((chunk_size,), col_f[0], dtype)
+        rf[: end - start] = row_f[start:end]
+        cf[: end - start] = col_f[start:end]
+        c, k = _trace_chunk(scene, jnp.asarray(rf), jnp.asarray(cf))
+        c, k = jax.device_get((c, k))
+        colors[start:end] = c[: end - start]
+        classes[start:end] = k[: end - start]
+        if progress:
+            done = end
+            rate = done / max(time.time() - t_start, 1e-9)
+            eta = (n - done) / max(rate, 1e-9)
+            print(
+                f"\r  traced {done}/{n} rays ({rate:.0f} rays/s, eta {eta:.0f}s)",
+                end="",
+                file=sys.stderr,
+            )
+    if progress:
+        print(file=sys.stderr)
+    return colors, classes
+
+
+# ---------------------------------------------------------------------------
+# Render driver
+# ---------------------------------------------------------------------------
+
+
+class RenderOutput(NamedTuple):
+    color: np.ndarray  # [H, W, 4] CIE XYZA
+    ray_class: np.ndarray  # [H, W]
+    supersample_mask: Optional[np.ndarray]  # [H, W] bool (None if AA disabled)
+
+
+def render_section(
+    scene,
+    from_row: int = 0,
+    from_col: int = 0,
+    to_row: Optional[int] = None,
+    to_col: Optional[int] = None,
+    chunk_size: int = 65536,
+    sampling_mask_color: Optional[tuple] = None,
+    progress: bool = False,
+) -> RenderOutput:
+    """Render a section [from_row, to_row) × [from_col, to_col) of the camera
+    grid, with the scene's adaptive supersampling (raytracer.rs:460-497).
+
+    With sampling_mask_color set (an XYZA tuple), selected pixels are painted
+    instead of re-traced (--show-sampling-mask)."""
+    camera = scene.camera
+    to_row = camera.rows if to_row is None else to_row
+    to_col = camera.columns if to_col is None else to_col
+    h, w = to_row - from_row, to_col - from_col
+
+    rr, cc = np.meshgrid(
+        np.arange(from_row, to_row, dtype=np.float64),
+        np.arange(from_col, to_col, dtype=np.float64),
+        indexing="ij",
+    )
+    colors, classes = trace_pixels_chunked(
+        scene, rr.ravel(), cc.ravel(), chunk_size, progress
+    )
+    colors = colors.reshape(h, w, 4)
+    classes = classes.reshape(h, w)
+
+    cfg = scene.adaptive
+    if not (cfg.enabled or sampling_mask_color is not None):
+        return RenderOutput(colors, classes, None)
+
+    minimum_luminance = resolve_minimum_luminance(cfg, colors[..., 1])
+    mask = collect_supersample_mask(
+        cfg, colors[..., 1], colors[..., 3], classes, minimum_luminance
+    )
+
+    if sampling_mask_color is not None:
+        out = colors.copy()
+        out[mask] = np.asarray(sampling_mask_color, colors.dtype)
+        return RenderOutput(out, classes, mask)
+
+    sel_r, sel_c = np.nonzero(mask)
+    if sel_r.size:
+        n_spp = cfg.samples_per_axis**2
+        abs_r = sel_r + from_row
+        abs_c = sel_c + from_col
+        dx, dy = stratified_sample_offsets(abs_r, abs_c, cfg.samples_per_axis)
+        # get_ray_for_offset: row + (dy − ½), col + (dx − ½) (camera.rs:247-254)
+        row_f = (abs_r[:, None] + (dy - 0.5)).ravel()
+        col_f = (abs_c[:, None] + (dx - 0.5)).ravel()
+        sub_colors, _ = trace_pixels_chunked(scene, row_f, col_f, chunk_size, progress)
+        averaged = sub_colors.reshape(-1, n_spp, 4).mean(axis=1)
+        colors[sel_r, sel_c] = averaged
+    return RenderOutput(colors, classes, mask)
+
+
+# ---------------------------------------------------------------------------
+# Output formats
+# ---------------------------------------------------------------------------
+
+
+def write_image(path: str, output_color: np.ndarray, tone_mapping: str = col.TONE_MAPPING_REINHARD):
+    """Write [H, W, 4] XYZA: Radiance .hdr (raw XYZ) or tone-mapped 8-bit."""
+    if path.endswith(".hdr"):
+        write_radiance_hdr(path, output_color[..., :3].astype(np.float32))
+    else:
+        img = np.asarray(
+            col.xyza_buffer_to_srgb8(jnp.asarray(output_color), method=tone_mapping)
+        )
+        from PIL import Image
+
+        Image.fromarray(img).save(path)
+
+
+def write_radiance_hdr(path: str, rgb: np.ndarray):
+    """Minimal Radiance RGBE writer (flat scanlines, universally readable)."""
+    h, w, _ = rgb.shape
+    rgb = np.maximum(rgb, 0.0).astype(np.float64)
+    v = rgb.max(axis=-1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mant, exp = np.frexp(v)
+        scale = np.where(v >= 1e-32, mant * 256.0 / np.maximum(v, 1e-300), 0.0)
+    rgbe = np.zeros((h, w, 4), np.uint8)
+    rgbe[..., :3] = np.clip(rgb * scale[..., None], 0, 255).astype(np.uint8)
+    rgbe[..., 3] = np.where(v >= 1e-32, exp + 128, 0).astype(np.uint8)
+    with open(path, "wb") as f:
+        f.write(b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n")
+        f.write(f"-Y {h} +X {w}\n".encode())
+        f.write(rgbe.tobytes())

@@ -1,0 +1,186 @@
+"""Render-driver tests: stratified jitter, adaptive-AA trigger truth table,
+luminance floor, sampling mask, end-to-end section render, HDR writer.
+
+Mirrors the reference's raytracer.rs tests (:527-618) plus the section/mask
+behaviors (:285-295, :460-497)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from gr_raytracer_tpu.geometry.euclidean import EuclideanSpace
+from gr_raytracer_tpu.rendering import camera as cam
+from gr_raytracer_tpu.rendering import raytracer as rt
+from gr_raytracer_tpu.rendering import scene as scn
+
+from scene_helpers import build_test_scene
+
+
+def make_cfg(**kw):
+    defaults = dict(
+        enabled=True,
+        samples_per_axis=4,
+        luminance_contrast_threshold=0.15,
+        opacity_contrast_threshold=0.1,
+        minimum_luminance=None,
+        object_hit_opacity_threshold=0.5,
+        exclude_background_contrast=True,
+    )
+    defaults.update(kw)
+    return scn.AdaptiveSamplingConfig(**defaults)
+
+
+def pair_mask(cfg, min_lum, p, q):
+    """Run the stencil on a 1×2 buffer; returns whether the left pixel is
+    selected (pair semantics of raytracer.rs:89-108)."""
+    lum = np.array([[p[0], q[0]]])
+    alpha = np.array([[p[1], q[1]]])
+    klass = np.array([[p[2], q[2]]], dtype=np.int32)
+    return bool(rt.collect_supersample_mask(cfg, lum, alpha, klass, min_lum)[0, 0])
+
+
+# ---------------------------------------------------------------------------
+# Jitter (raytracer.rs:527-549)
+# ---------------------------------------------------------------------------
+
+
+def test_stratified_offsets_stay_in_their_cells_and_deterministic():
+    n = 4
+    dx, dy = rt.stratified_sample_offsets(np.array([17]), np.array([23]), n)
+    dx2, dy2 = rt.stratified_sample_offsets(np.array([17]), np.array([23]), n)
+    np.testing.assert_array_equal(dx, dx2)
+    np.testing.assert_array_equal(dy, dy2)
+    cell = 1.0 / n
+    for sr in range(n):
+        for sc in range(n):
+            i = sr * n + sc
+            assert sc * cell <= dx[0, i] < (sc + 1) * cell
+            assert sr * cell <= dy[0, i] < (sr + 1) * cell
+
+
+def test_splitmix64_reference_values():
+    # mix64 oracle from the splitmix64 spec (seed 1234567 step chain) — also
+    # pins uint64 wraparound behavior.
+    assert rt.mix64(np.uint64(1234567) + np.uint64(0x9E3779B97F4A7C15)) == np.uint64(
+        6457827717110365317
+    )
+    v = rt.hash_pixel_samples(17, 23, 0)
+    assert 0.0 <= float(v) < 1.0
+
+
+# ---------------------------------------------------------------------------
+# Trigger truth table (raytracer.rs:551-618)
+# ---------------------------------------------------------------------------
+
+
+def test_michelson_contrast_epsilon():
+    lum = np.array([[0.0, rt.MICHELSON_DENOMINATOR_EPSILON]])
+    c = np.abs(lum[0, 0] - lum[0, 1]) / (lum[0, 0] + lum[0, 1] + rt.MICHELSON_DENOMINATOR_EPSILON)
+    assert c == 0.5
+
+
+def test_class_boundaries_always_supersampled():
+    cfg = make_cfg()
+    assert pair_mask(cfg, 100.0, (0.0, 1.0, scn.ESCAPED), (0.0, 1.0, scn.CAPTURED))
+    assert pair_mask(cfg, 100.0, (0.0, 1.0, scn.CAPTURED), (0.0, 1.0, scn.ESCAPED))
+
+
+def test_background_contrast_excluded():
+    cfg = make_cfg(luminance_contrast_threshold=0.0, opacity_contrast_threshold=0.0)
+    assert not pair_mask(cfg, 0.0, (1.0, 0.0, scn.ESCAPED), (100.0, 1.0, scn.ESCAPED))
+
+
+def test_visible_object_contrast_triggers():
+    cfg = make_cfg(luminance_contrast_threshold=0.2, opacity_contrast_threshold=0.2)
+    assert pair_mask(cfg, 1.0, (2.0, 1.0, scn.HIT), (1.0, 1.0, scn.HIT))
+    assert pair_mask(cfg, 1.0, (2.0, 0.6, scn.HIT), (2.0, 0.9, scn.HIT))
+
+
+def test_faint_object_contrast_does_not_trigger():
+    cfg = make_cfg(luminance_contrast_threshold=0.0, opacity_contrast_threshold=0.0)
+    assert not pair_mask(cfg, 1.0, (1.0, 0.0, scn.HIT), (0.0, 1.0, scn.HIT))
+
+
+def test_minimum_luminance_percentile():
+    cfg = make_cfg(minimum_luminance=None)
+    lum = np.arange(100, dtype=np.float64).reshape(10, 10)
+    # k = floor(99 * 0.99) = 98 -> kth smallest = 98.0
+    assert rt.resolve_minimum_luminance(cfg, lum) == 1e-3 * 98.0
+    cfg2 = make_cfg(minimum_luminance=7.5)
+    assert rt.resolve_minimum_luminance(cfg2, lum) == 7.5
+
+
+# ---------------------------------------------------------------------------
+# End-to-end section render (Euclidean sphere scene)
+# ---------------------------------------------------------------------------
+
+
+def euclid_scene(rows=11, cols=11, **aa_kw):
+    geometry = EuclideanSpace()
+    position = jnp.array([0.0, 10.0, 0.0, 0.0])
+    velocity = jnp.array([1.0, 0.0, 0.0, 0.0])
+    camera = cam.build_camera(
+        geometry, position, velocity, alpha=jnp.pi / 4, rows=rows, columns=cols
+    )
+    scene = build_test_scene(geometry, camera)
+    return scene.replace(adaptive=make_cfg(**aa_kw))
+
+
+def test_render_section_shapes_and_classes():
+    scene = euclid_scene(rows=9, cols=9, enabled=False)
+    out = rt.render_section(scene, chunk_size=32)
+    assert out.color.shape == (9, 9, 4)
+    assert out.supersample_mask is None
+    # Center pixel hits the sphere, corner escapes.
+    assert out.ray_class[4, 4] == scn.HIT
+    assert out.ray_class[0, 0] == scn.ESCAPED
+
+
+def test_render_section_crop_matches_full():
+    scene = euclid_scene(rows=9, cols=9, enabled=False)
+    full = rt.render_section(scene, chunk_size=32)
+    crop = rt.render_section(scene, from_row=2, from_col=3, to_row=7, to_col=8, chunk_size=16)
+    np.testing.assert_allclose(crop.color, full.color[2:7, 3:8], atol=1e-12)
+
+
+def test_sampling_mask_paints_selected_pixels():
+    scene = euclid_scene(rows=9, cols=9)
+    mask_color = (1.0, 0.0, 1.0, 1.0)
+    out = rt.render_section(scene, chunk_size=32, sampling_mask_color=mask_color)
+    assert out.supersample_mask is not None
+    assert out.supersample_mask.any()  # sphere silhouette triggers class edges
+    sel = out.supersample_mask
+    np.testing.assert_array_equal(out.color[sel], np.broadcast_to(mask_color, (sel.sum(), 4)))
+
+
+def test_supersampling_changes_edge_pixels_only():
+    scene = euclid_scene(rows=9, cols=9)
+    base = rt.render_section(scene.replace(adaptive=make_cfg(enabled=False)), chunk_size=32)
+    aa = rt.render_section(scene, chunk_size=32)
+    changed = np.any(base.color != aa.color, axis=-1)
+    assert aa.supersample_mask is not None
+    # Only selected pixels may change, and at least one did.
+    assert changed.sum() > 0
+    assert not np.any(changed & ~aa.supersample_mask)
+
+
+def test_radiance_hdr_roundtrip(tmp_path):
+    rgb = np.array(
+        [[[0.5, 1.0, 2.0], [0.0, 0.0, 0.0]], [[100.0, 10.0, 1.0], [1e-38, 0.0, 0.0]]],
+        np.float32,
+    )
+    path = str(tmp_path / "t.hdr")
+    rt.write_radiance_hdr(path, rgb)
+    with open(path, "rb") as f:
+        data = f.read()
+    assert data.startswith(b"#?RADIANCE\n")
+    header_end = data.index(b"\n\n") + 2
+    dims, _, payload = data[header_end:].partition(b"\n")
+    assert dims == b"-Y 2 +X 2"
+    rgbe = np.frombuffer(payload, np.uint8).reshape(2, 2, 4)
+    # Decode and compare (RGBE quantizes to ~1%).
+    exp = rgbe[..., 3].astype(np.int32) - 128
+    scale = np.where(rgbe[..., 3] > 0, np.ldexp(1.0, exp - 8), 0.0)
+    decoded = rgbe[..., :3] * scale[..., None]
+    np.testing.assert_allclose(decoded[0, 0], rgb[0, 0], rtol=0.01)
+    np.testing.assert_allclose(decoded[1, 0], rgb[1, 0], rtol=0.01)
+    assert (decoded[0, 1] == 0).all() and (decoded[1, 1] == 0).all()
