@@ -176,14 +176,18 @@ def gram_schmidt(geometry, x, vectors):
     return jnp.stack(out, axis=-2)
 
 
-def validate_tetrad(geometry, x, tetrad, tol=1e-5):
+def validate_tetrad(geometry, x, tetrad, tol=None):
     """Host-side orthonormality check (reference: tetrad.rs:60-130).
 
     Raises ValueError if any of the 10 inner products deviates from the
-    signature by more than `tol`. Call at scene-build time only.
+    signature by more than `tol`. Call at scene-build time only. The default
+    tolerance is the reference's 1e-5 in float64; float32 carries ~1e-3 of
+    Gram-Schmidt rounding, so the default loosens there.
     """
     import numpy as np
 
+    if tol is None:
+        tol = 1e-5 if np.asarray(tetrad).dtype == np.float64 else 5e-3
     sig = geometry.signature()
     for i in range(4):
         for j in range(i, 4):

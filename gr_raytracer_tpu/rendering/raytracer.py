@@ -126,6 +126,75 @@ def _trace_chunk(scene, row_f, col_f):
     return s.color, s.ray_class
 
 
+@jax.jit
+def _trace_chunk_geo(scene, row_f, col_f):
+    x, p = cam.pixel_rays(scene.camera, row_f, col_f)
+    return scn.trace_geometric(scene, x, p)
+
+
+@jax.jit
+def _raymarch_compact(obj, geometry, ro, rd, obs, p_t, p_phi, active):
+    return obj.raymarch(geometry, ro, rd, obs, p_t, p_phi, active)
+
+
+VOLUMETRIC_LANE_CHUNK = 4096
+
+
+def _has_volumetric(scene) -> bool:
+    return any(hasattr(o, "raymarch") for o in scene.objects)
+
+
+def _trace_chunk_split(scene, rf, cf, vol_chunk: int = VOLUMETRIC_LANE_CHUNK):
+    """Volumetric split path: geometric pass on device, host-side compaction
+    of the (sparse) volumetric event lanes, padded compact raymarch batches,
+    then the exact fold. Marching only hit lanes instead of all N·K slots is
+    a 10-100× saving (most rays never enter the disc)."""
+    geo = jax.device_get(_trace_chunk_geo(scene, jnp.asarray(rf), jnp.asarray(cf)))
+    ev_colors = np.array(geo.surface_colors)
+    for idx, obj in enumerate(scene.objects):
+        if not hasattr(obj, "raymarch"):
+            continue
+        nn, kk = np.nonzero(geo.ev_kind == idx)
+        if nn.size == 0:
+            continue
+        ro_all = geo.ev_data[nn, kk, 0:3]
+        seg = geo.ev_data[nn, kk, 9:12]
+        norm = np.maximum(np.linalg.norm(seg, axis=-1, keepdims=True), 1e-30)
+        rd_all = seg / norm
+        obs_all = geo.observer_energy[nn]
+        pt_all = geo.p_t[nn]
+        pphi_all = geo.p_phi[nn]
+        for start in range(0, nn.size, vol_chunk):
+            end = min(start + vol_chunk, nn.size)
+            m = end - start
+            pad = lambda a: np.concatenate(
+                [a[start:end], np.repeat(a[start : start + 1], vol_chunk - m, axis=0)]
+            )
+            active = np.zeros((vol_chunk,), bool)
+            active[:m] = True
+            out = jax.device_get(
+                _raymarch_compact(
+                    obj,
+                    scene.geometry,
+                    jnp.asarray(pad(ro_all)),
+                    jnp.asarray(pad(rd_all)),
+                    jnp.asarray(pad(obs_all)),
+                    jnp.asarray(pad(pt_all)),
+                    jnp.asarray(pad(pphi_all)),
+                    jnp.asarray(active),
+                )
+            )
+            ev_colors[nn[start:end], kk[start:end]] = out[:m]
+    color, klass = scn.fold_samples(
+        scene,
+        jnp.asarray(geo.ev_kind),
+        jnp.asarray(ev_colors),
+        jnp.asarray(geo.stop_code),
+        jnp.asarray(geo.celestial),
+    )
+    return np.asarray(color), np.asarray(klass)
+
+
 def trace_pixels_chunked(scene, row_f, col_f, chunk_size: int, progress: bool = False):
     """Trace arbitrary (fractional) pixel coords in fixed-size chunks.
     Returns (color [N, 4], ray_class [N]) as numpy arrays."""
@@ -133,6 +202,7 @@ def trace_pixels_chunked(scene, row_f, col_f, chunk_size: int, progress: bool = 
     dtype = np.float32 if scene.camera.position.dtype == jnp.float32 else np.float64
     colors = np.zeros((n, 4), dtype)
     classes = np.zeros((n,), np.int32)
+    split = _has_volumetric(scene)
     t_start = time.time()
     for start in range(0, n, chunk_size):
         end = min(start + chunk_size, n)
@@ -140,8 +210,11 @@ def trace_pixels_chunked(scene, row_f, col_f, chunk_size: int, progress: bool = 
         cf = np.full((chunk_size,), col_f[0], dtype)
         rf[: end - start] = row_f[start:end]
         cf[: end - start] = col_f[start:end]
-        c, k = _trace_chunk(scene, jnp.asarray(rf), jnp.asarray(cf))
-        c, k = jax.device_get((c, k))
+        if split:
+            c, k = _trace_chunk_split(scene, rf, cf)
+        else:
+            c, k = _trace_chunk(scene, jnp.asarray(rf), jnp.asarray(cf))
+            c, k = jax.device_get((c, k))
         colors[start:end] = c[: end - start]
         classes[start:end] = k[: end - start]
         if progress:

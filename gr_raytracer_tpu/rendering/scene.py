@@ -121,8 +121,13 @@ def _segment_fn(scene, freq):
     return fn
 
 
-def _shade_events(scene, freq, res):
-    """Deferred shading of the [N, K] event buffer -> colors [N, K, 4]."""
+def _shade_events(scene, freq, res, include_volumetric=True):
+    """Deferred shading of the [N, K] event buffer -> colors [N, K, 4].
+
+    With include_volumetric=False, volumetric slots are left at zero — the
+    render driver raymarches them separately on a *compacted* lane set (most
+    slots are empty; marching all N·K lanes would waste 10-100×) and
+    composites with fold_samples."""
     geometry = scene.geometry
     chart = geometry.chart
     n, k = res.ev_kind.shape
@@ -143,6 +148,8 @@ def _shade_events(scene, freq, res):
     for idx, obj in enumerate(scene.objects):
         mask = res.ev_kind == idx
         if hasattr(obj, "raymarch"):  # volumetric: shaded by its own pass
+            if not include_volumetric:
+                continue
             c = obj.shade_events(scene.geometry, freq, res, idx)
         else:
             u_emit, ok = obj.emitter_velocity(geometry, pos_native)
@@ -195,11 +202,92 @@ def _celestial_color(scene, freq, solver, res):
     return scene.celestial_map.color_at_uv(u, v, scene.celestial_temperature, redshift)
 
 
+def fold_samples(scene, ev_kind, ev_colors, stop_code, celestial):
+    """Ordered alpha fold of shaded events over the terminal color.
+
+    Front-to-back premultiplied fold — exact vs the reference's back-to-front
+    blend over opaque black (scene.rs:206-214). Pure jnp; callable under jit
+    or on host arrays. Returns (color [N, 4], ray_class [N])."""
+    n, k = ev_kind.shape
+    dtype = ev_colors.dtype
+    premul = jnp.zeros((n, 3), dtype)
+    trans = jnp.ones((n,), dtype)
+    obj_opacity = jnp.zeros((n,), dtype)
+    for j in range(k):
+        valid = ev_kind[:, j] >= 0
+        a = jnp.clip(ev_colors[:, j, 3], 0.0, 1.0) * valid
+        premul = premul + (trans * a)[:, None] * ev_colors[:, j, :3]
+        trans = trans * (1.0 - a)
+        obj_opacity = a + obj_opacity * (1.0 - a)
+
+    # Terminal layer: celestial texture for escaped rays; opaque black for
+    # horizon/trapped/NaN/budget (identical to the black base they'd fall
+    # through to, so folding it unconditionally is exact).
+    escaped = stop_code == integ.CELESTIAL
+    term = jnp.where(escaped[:, None], celestial, jnp.asarray([0.0, 0.0, 0.0, 1.0], dtype))
+    a_t = jnp.clip(term[:, 3], 0.0, 1.0)
+    premul = premul + (trans * a_t)[:, None] * term[:, :3]
+
+    color = jnp.concatenate([premul, jnp.ones((n, 1), dtype)], axis=-1)
+
+    ray_class = jnp.where(escaped, ESCAPED, CAPTURED)
+    ray_class = jnp.where(
+        obj_opacity >= scene.adaptive.object_hit_opacity_threshold, HIT, ray_class
+    )
+
+    # Controller failure -> the buffer-default sample (black, Escaped),
+    # discarding any accumulated events (raytracer.rs:232-239).
+    failed = stop_code == integ.STEP_FAILED
+    color = jnp.where(failed[:, None], jnp.asarray([0.0, 0.0, 0.0, 1.0], dtype), color)
+    ray_class = jnp.where(failed, ESCAPED, ray_class)
+    return color, ray_class.astype(jnp.int32)
+
+
+class GeoTrace(NamedTuple):
+    """Output of the geometric pass (integration + surface shading), with
+    everything the driver needs to raymarch volumetric events separately."""
+
+    surface_colors: jnp.ndarray  # [N, K, 4], volumetric slots zero
+    celestial: jnp.ndarray  # [N, 4]
+    ev_kind: jnp.ndarray  # [N, K]
+    ev_data: jnp.ndarray  # [N, K, D]
+    stop_code: jnp.ndarray  # [N]
+    observer_energy: jnp.ndarray  # [N]
+    p_t: jnp.ndarray  # [N]
+    p_phi: jnp.ndarray  # [N]
+
+
+def trace_geometric(scene, positions, momenta) -> GeoTrace:
+    """Integration + event detection + surface/celestial shading, WITHOUT
+    volumetric raymarching (driver split path; see raytracer.py)."""
+    geometry = scene.geometry
+    solver = geometry.make_solver(positions, momenta)
+    y0 = solver.initial_state(positions, momenta)
+    freq = ray_frequency_data(geometry, positions, momenta, scene.camera.velocity)
+    res = integ.integrate_rays(
+        geometry, solver, scene.integration, y0, _segment_fn(scene, freq), EVENT_WIDTH
+    )
+    colors = _shade_events(scene, freq, res, include_volumetric=False)
+    celestial = _celestial_color(scene, freq, solver, res)
+    return GeoTrace(
+        surface_colors=colors,
+        celestial=celestial,
+        ev_kind=res.ev_kind,
+        ev_data=res.ev_data,
+        stop_code=res.stop_code,
+        observer_energy=freq.observer_energy,
+        p_t=freq.p_t,
+        p_phi=freq.p_phi,
+    )
+
+
 def trace_rays(scene, positions, momenta):
     """Color a batch of camera rays. positions/momenta: [N, 4] native chart.
 
     Returns RaySamples. The output color alpha is 1 (everything composites
-    over an opaque black base, scene.rs:206-209).
+    over an opaque black base, scene.rs:206-209). Volumetric objects are
+    shaded inline over the full event buffer — fine for tests and small
+    batches; the render driver uses the compacted split path instead.
     """
     geometry = scene.geometry
     solver = geometry.make_solver(positions, momenta)
@@ -217,43 +305,11 @@ def trace_rays(scene, positions, momenta):
 
     colors = _shade_events(scene, freq, res)  # [N, K, 4]
     celestial = _celestial_color(scene, freq, solver, res)  # [N, 4]
-
-    n, k = res.ev_kind.shape
-    dtype = colors.dtype
-    premul = jnp.zeros((n, 3), dtype)
-    trans = jnp.ones((n,), dtype)
-    obj_opacity = jnp.zeros((n,), dtype)
-    for j in range(k):
-        valid = res.ev_kind[:, j] >= 0
-        a = jnp.clip(colors[:, j, 3], 0.0, 1.0) * valid
-        premul = premul + (trans * a)[:, None] * colors[:, j, :3]
-        trans = trans * (1.0 - a)
-        obj_opacity = a + obj_opacity * (1.0 - a)
-
-    # Terminal layer: celestial texture for escaped rays; opaque black for
-    # horizon/trapped/NaN/budget (identical to the black base they'd fall
-    # through to, so folding it unconditionally is exact).
-    escaped = res.stop_code == integ.CELESTIAL
-    term = jnp.where(escaped[:, None], celestial, jnp.asarray([0.0, 0.0, 0.0, 1.0], dtype))
-    a_t = jnp.clip(term[:, 3], 0.0, 1.0)
-    premul = premul + (trans * a_t)[:, None] * term[:, :3]
-
-    color = jnp.concatenate([premul, jnp.ones((n, 1), dtype)], axis=-1)
-
-    ray_class = jnp.where(escaped, ESCAPED, CAPTURED)
-    ray_class = jnp.where(
-        obj_opacity >= scene.adaptive.object_hit_opacity_threshold, HIT, ray_class
-    )
-
-    # Controller failure -> the buffer-default sample (black, Escaped),
-    # discarding any accumulated events (raytracer.rs:232-239).
-    failed = res.stop_code == integ.STEP_FAILED
-    color = jnp.where(failed[:, None], jnp.asarray([0.0, 0.0, 0.0, 1.0], dtype), color)
-    ray_class = jnp.where(failed, ESCAPED, ray_class)
+    color, ray_class = fold_samples(scene, res.ev_kind, colors, res.stop_code, celestial)
 
     return RaySamples(
         color=color,
-        ray_class=ray_class.astype(jnp.int32),
+        ray_class=ray_class,
         stop_code=res.stop_code,
         steps=res.steps,
         ev_overflow=res.ev_overflow,
