@@ -1,0 +1,344 @@
+"""Pallas TPU kernel: fixed-step RK4 Kerr-Schild geodesic march.
+
+The speed-of-light path for the headline Kerr benchmark (SURVEY.md stage 12).
+Where the lax.while_loop RKF45 integrator re-reads its whole carry
+(state + event buffer, ~100 B/ray) from HBM every iteration, this kernel
+keeps each ray block resident in VMEM for the entire march: HBM traffic is
+one load of y0 and one store of the results per ray, regardless of step
+count.
+
+Layout: SoA, state [8, N] (components on the f32 sublane tile of 8, rays on
+the 128-lane axis), N tiled into VMEM-resident blocks. Each program marches
+its block with an in-kernel lax.while_loop that exits as soon as every lane
+in the block has stopped — blocks of early-terminating rays (horizon
+plunges, quick escapes) finish early instead of padding to the global
+worst case (the compaction SURVEY.md §5 asks for, expressed as blocking).
+
+Step size: adaptive-lite h = h0 · clip(r/r_ref, h_min_frac, 1) — small near
+the hole where curvature is strong, capped far away (the reference's H_MAX
+rationale, runge_kutta.rs:61-76). RK4 instead of embedded RKF45: no
+accept/reject divergence between lanes, 4 RHS evals per step.
+
+Events: equatorial thin-disc crossings (z sign change within radial bounds)
+are recorded into a K-slot per-lane buffer with the same 12-wide payload as
+the lax path (point3 | p_contra4 | uv2 | seg_dir3), so the deferred shading
+and fold are shared verbatim.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gr_raytracer_tpu.rendering import integrator as integ
+
+LANE_TILE = 512  # rays per block; 8×512 f32 state = 16 KB VMEM
+MAX_EVENTS = 4
+EVENT_WIDTH = 12
+
+
+def _eta():
+    return (-1.0, 1.0, 1.0, 1.0)
+
+
+def _ks_scalars(radius, a, x, y, z):
+    """f and k (covariant) for Kerr-Schild, componentwise over [T] lanes."""
+    rho_sq = x * x + y * y + z * z
+    d = rho_sq - a * a
+    r_sq = 0.5 * (d + jnp.sqrt(d * d + 4.0 * a * a * z * z))
+    r = jnp.sqrt(r_sq)
+    f = (r * r_sq * radius) / (r_sq * r_sq + a * a * z * z)
+    denom = r_sq + a * a
+    kx = (r * x + a * y) / denom
+    ky = (r * y - a * x) / denom
+    kz = z / jnp.maximum(r, 1e-30)
+    return f, kx, ky, kz, r
+
+
+def _hamiltonian(radius, a, pos, p):
+    """H = ½ g^{μν} p_μ p_ν with g^inv = η^inv − f k♯ k♯.
+    pos: [3, T] spatial; p: [4, T] covariant."""
+    f, kx, ky, kz, _ = _ks_scalars(radius, a, pos[0], pos[1], pos[2])
+    # k♯ = (−k_t, k_x, k_y, k_z) for this η.
+    k_dot_p = -p[0] + kx * p[1] + ky * p[2] + kz * p[3]
+    eta_pp = -p[0] * p[0] + p[1] * p[1] + p[2] * p[2] + p[3] * p[3]
+    return 0.5 * (eta_pp - f * k_dot_p * k_dot_p)
+
+
+def _rhs(radius, a, y):
+    """dy/dλ for y = [x4 | p_cov4] as [8, T]."""
+    pos = y[1:4]
+    p = y[4:8]
+    f, kx, ky, kz, _ = _ks_scalars(radius, a, pos[0], pos[1], pos[2])
+    k_dot_p = -p[0] + kx * p[1] + ky * p[2] + kz * p[3]
+    # xdot^μ = g^{μν} p_ν = η^{μν} p_ν − f k♯^μ (k♯·p)
+    xdot_t = -p[0] + f * k_dot_p  # η^{tt} p_t − f(−k_t)(k·p), k_t = 1
+    xdot_x = p[1] - f * kx * k_dot_p
+    xdot_y = p[2] - f * ky * k_dot_p
+    xdot_z = p[3] - f * kz * k_dot_p
+
+    def total_h(spatial):
+        return jnp.sum(_hamiltonian(radius, a, spatial, p))
+
+    dH = jax.grad(total_h)(pos)  # [3, T]
+    return jnp.concatenate(
+        [
+            xdot_t[None],
+            xdot_x[None],
+            xdot_y[None],
+            xdot_z[None],
+            jnp.zeros_like(xdot_t)[None],  # p_t conserved (stationary metric)
+            -dH,
+        ],
+        axis=0,
+    )
+
+
+def _momentum_contra(radius, a, y):
+    """p^μ from the covariant state, [4, T]."""
+    pos = y[1:4]
+    p = y[4:8]
+    f, kx, ky, kz, _ = _ks_scalars(radius, a, pos[0], pos[1], pos[2])
+    k_dot_p = -p[0] + kx * p[1] + ky * p[2] + kz * p[3]
+    return jnp.stack(
+        [
+            -p[0] + f * k_dot_p,
+            p[1] - f * kx * k_dot_p,
+            p[2] - f * ky * k_dot_p,
+            p[3] - f * kz * k_dot_p,
+        ],
+        axis=0,
+    )
+
+
+class DiscSpec(NamedTuple):
+    """Static per-disc radial bounds for in-kernel crossing detection."""
+
+    inner: float
+    outer: float
+    kind: int  # object index in the scene
+
+
+def _march_kernel(
+    y_ref,
+    param_ref,  # SMEM [8,1]: radius, a, horizon_eps, h0, max_radius, h_min_frac, r_ref, _
+    y_out_ref,
+    stop_ref,
+    steps_ref,
+    ev_kind_ref,
+    ev_data_ref,
+    ev_count_ref,
+    *,
+    max_steps: int,
+    discs: tuple,
+):
+    radius = param_ref[0, 0]
+    a = param_ref[1, 0]
+    horizon_eps = param_ref[2, 0]
+    h0 = param_ref[3, 0]
+    max_radius = param_ref[4, 0]
+    h_min_frac = param_ref[5, 0]
+    r_ref_scale = param_ref[6, 0]
+
+    y0 = y_ref[:, :]
+    t = y0.shape[-1]
+    m = 0.5 * radius
+    r_plus = m + jnp.sqrt(jnp.maximum(m * m - a * a, 0.0))
+    max_radius_sq = max_radius * max_radius
+
+    carry0 = (
+        y0,
+        jnp.zeros((1, t), jnp.int32),  # stop code
+        jnp.zeros((1, t), jnp.int32),  # accepted steps
+        jnp.full((MAX_EVENTS, t), -1, jnp.int32),  # ev kinds
+        jnp.zeros((MAX_EVENTS * EVENT_WIDTH, t), y0.dtype),  # ev payloads
+        jnp.zeros((1, t), jnp.int32),  # ev counts
+        jnp.zeros((), jnp.int32),  # iteration
+    )
+
+    def cond(c):
+        _, stop, _, _, _, _, it = c
+        return jnp.logical_and(jnp.any(stop[0] == integ.RUNNING), it < max_steps)
+
+    def body(c):
+        y, stop, steps, ev_kind, ev_data, ev_count, it = c
+        active = stop[0] == integ.RUNNING
+
+        _, _, _, _, r_here = _ks_scalars(radius, a, y[1], y[2], y[3])
+        # Distance-above-horizon scaling: photon-ring orbits (r ~ r₊) need a
+        # much finer step than the r/r_ref rule gives; far-field rays stay at
+        # the h0 cap (the H_MAX rationale, runge_kutta.rs:61-76).
+        h = h0 * jnp.clip((r_here - r_plus) / r_ref_scale, h_min_frac, 1.0)
+
+        k1 = _rhs(radius, a, y)
+        k2 = _rhs(radius, a, y + 0.5 * h * k1)
+        k3 = _rhs(radius, a, y + 0.5 * h * k2)
+        k4 = _rhs(radius, a, y + h * k3)
+        y_new = y + (h / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+        y_new = jnp.where(active[None, :], y_new, y)
+
+        # --- stop determination (priority per integrator.rs:203-268) -----
+        pos_finite = (
+            jnp.isfinite(y_new[0])
+            & jnp.isfinite(y_new[1])
+            & jnp.isfinite(y_new[2])
+            & jnp.isfinite(y_new[3])
+        )
+        mom_finite = (
+            jnp.isfinite(y_new[4])
+            & jnp.isfinite(y_new[5])
+            & jnp.isfinite(y_new[6])
+            & jnp.isfinite(y_new[7])
+        )
+        _, _, _, _, r_new = _ks_scalars(radius, a, y_new[1], y_new[2], y_new[3])
+        horizon = r_new <= r_plus + horizon_eps
+        rho_sq = y_new[1] ** 2 + y_new[2] ** 2 + y_new[3] ** 2
+        escaped = rho_sq > max_radius_sq
+        steps_new = steps + active[None, :].astype(jnp.int32)
+        trapped = (steps_new[0] >= max_steps - 1) & (r_new < 5.0 * radius)
+        budget = steps_new[0] >= max_steps - 1
+
+        code = jnp.full((t,), integ.RUNNING, jnp.int32)
+        code = jnp.where(~mom_finite, integ.NAN, code)
+        code = jnp.where(escaped, integ.CELESTIAL, code)
+        code = jnp.where(trapped, integ.TRAPPED, code)
+        code = jnp.where(horizon, integ.HORIZON, code)
+        code = jnp.where(~pos_finite, integ.NAN, code)
+        code = jnp.where((code == integ.RUNNING) & budget, integ.BUDGET, code)
+        stop_new = jnp.where(active, code, stop[0])[None, :]
+
+        # --- equatorial-disc crossing events -----------------------------
+        if discs:
+            z_prev, z_new = y[3], y_new[3]
+            crossing = (z_prev * z_new < 0.0) & active
+            frac = z_prev / (z_prev - z_new + jnp.where(z_prev == z_new, 1.0, 0.0))
+            px = y[1] + frac * (y_new[1] - y[1])
+            py = y[2] + frac * (y_new[2] - y[2])
+            rr = jnp.sqrt(px * px + py * py)
+            p_prev = _momentum_contra(radius, a, y)
+            p_new = _momentum_contra(radius, a, y_new)
+            p_interp = p_prev + frac[None, :] * (p_new - p_prev)
+            phi = jnp.arctan2(py, px)
+            seg = y_new[1:4] - y[1:4]
+            for disc in discs:
+                hit = crossing & (rr >= disc.inner) & (rr <= disc.outer)
+                r_norm = (rr - disc.inner) / (disc.outer - disc.inner)
+                u = 0.5 + 0.5 * r_norm * jnp.cos(phi)
+                v = 0.5 + 0.5 * r_norm * jnp.sin(phi)
+                payload = jnp.concatenate(
+                    [
+                        px[None],
+                        py[None],
+                        jnp.zeros_like(px)[None],
+                        p_interp,
+                        u[None],
+                        v[None],
+                        seg,
+                    ],
+                    axis=0,
+                )  # [12, T]
+                store = hit & (ev_count[0] < MAX_EVENTS)
+                slot = jax.lax.broadcasted_iota(jnp.int32, (MAX_EVENTS, t), 0)
+                sel = (slot == ev_count[0][None, :]) & store[None, :]
+                ev_kind = jnp.where(sel, disc.kind, ev_kind)
+                comp = jax.lax.broadcasted_iota(
+                    jnp.int32, (MAX_EVENTS * EVENT_WIDTH, t), 0
+                )
+                sel_data = (comp // EVENT_WIDTH == ev_count[0][None, :]) & store[None, :]
+                tiled = jnp.tile(payload, (MAX_EVENTS, 1))
+                ev_data = jnp.where(sel_data, tiled, ev_data)
+                ev_count = ev_count + store[None, :].astype(jnp.int32)
+
+        return (y_new, stop_new, steps_new, ev_kind, ev_data, ev_count, it + 1)
+
+    y_f, stop_f, steps_f, ev_kind_f, ev_data_f, ev_count_f, _ = jax.lax.while_loop(
+        cond, body, carry0
+    )
+    stop_f = jnp.where(stop_f == integ.RUNNING, integ.BUDGET, stop_f)
+    y_out_ref[:, :] = y_f
+    stop_ref[:, :] = stop_f
+    steps_ref[:, :] = steps_f
+    ev_kind_ref[:, :] = ev_kind_f
+    ev_data_ref[:, :] = ev_data_f
+    ev_count_ref[:, :] = ev_count_f
+
+
+def kerr_rk4_march(
+    radius,
+    a,
+    horizon_epsilon,
+    y0,  # [N, 8] state (covariant momentum), N multiple of LANE_TILE
+    h0: float,
+    max_steps: int,
+    max_radius: float,
+    discs: tuple = (),
+    h_min_frac: float = 0.01,
+    r_ref_scale: float = 10.0,
+    interpret: bool = False,
+):
+    """March N rays; returns an integrator.IntegrationResult-compatible
+    tuple of numpy-friendly arrays (see integrator.py for field meaning)."""
+    n = y0.shape[0]
+    assert n % LANE_TILE == 0, f"N must be a multiple of {LANE_TILE}"
+    dtype = y0.dtype
+    y_t = y0.T  # [8, N]
+
+    params = jnp.array(
+        [
+            [radius],
+            [a],
+            [horizon_epsilon],
+            [h0],
+            [max_radius],
+            [h_min_frac],
+            [r_ref_scale],
+            [0.0],
+        ],
+        dtype,
+    )
+
+    grid = (n // LANE_TILE,)
+    lane_spec = lambda rows: pl.BlockSpec(
+        (rows, LANE_TILE), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+
+    kernel = functools.partial(_march_kernel, max_steps=max_steps, discs=tuple(discs))
+    y_f, stop, steps, ev_kind, ev_data, ev_count = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            lane_spec(8),
+            pl.BlockSpec((8, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            lane_spec(8),
+            lane_spec(1),
+            lane_spec(1),
+            lane_spec(MAX_EVENTS),
+            lane_spec(MAX_EVENTS * EVENT_WIDTH),
+            lane_spec(1),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((8, n), dtype),
+            jax.ShapeDtypeStruct((1, n), jnp.int32),
+            jax.ShapeDtypeStruct((1, n), jnp.int32),
+            jax.ShapeDtypeStruct((MAX_EVENTS, n), jnp.int32),
+            jax.ShapeDtypeStruct((MAX_EVENTS * EVENT_WIDTH, n), dtype),
+            jax.ShapeDtypeStruct((1, n), jnp.int32),
+        ],
+        interpret=interpret,
+    )(y_t, params)
+
+    return (
+        y_f.T,  # [N, 8]
+        stop[0],
+        steps[0],
+        ev_kind.T,  # [N, K]
+        ev_data.T.reshape(n, MAX_EVENTS, EVENT_WIDTH),
+        ev_count[0],
+    )

@@ -1,0 +1,87 @@
+"""Pallas fast path: full-scene tracing via the fixed-step RK4 kernel.
+
+Applies when the scene is Kerr (Kerr-Schild Cartesian) with only equatorial
+thin discs — the headline benchmark shape. Integration + disc-crossing
+detection run in the VMEM-resident kernel (ops/geodesic_pallas.py); shading
+and the alpha fold are the exact same deferred passes as the lax path.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from gr_raytracer_tpu.geometry.kerr import Kerr
+from gr_raytracer_tpu.objects.disc import Disc
+from gr_raytracer_tpu.ops import geodesic_pallas as gp
+from gr_raytracer_tpu.rendering import integrator as integ
+from gr_raytracer_tpu.rendering import scene as scn
+from gr_raytracer_tpu.rendering.redshift import ray_frequency_data
+
+
+def supports_scene(scene) -> bool:
+    return isinstance(scene.geometry, Kerr) and all(
+        isinstance(o, Disc) for o in scene.objects
+    )
+
+
+def trace_rays_fast(scene, positions, momenta, interpret: bool = False):
+    """Drop-in for scene.trace_rays on supported scenes (see supports_scene).
+
+    N is padded to the kernel lane tile; fixed-step RK4 with radius-scaled h
+    (h0 = 5× the scene step_size — RK4's local error is ~h⁵ vs the RKF45
+    controller's accepted ε, and the kernel shrinks h near the hole)."""
+    if not supports_scene(scene):
+        raise ValueError("pallas fast path supports Kerr + thin discs only")
+    geometry = scene.geometry
+    cfg = scene.integration
+
+    n = positions.shape[0]
+    pad = (-n) % gp.LANE_TILE
+    if pad:
+        positions = jnp.concatenate([positions, jnp.broadcast_to(positions[:1], (pad, 4))])
+        momenta = jnp.concatenate([momenta, jnp.broadcast_to(momenta[:1], (pad, 4))])
+
+    solver = geometry.make_solver(positions, momenta)
+    y0 = solver.initial_state(positions, momenta)
+    freq = ray_frequency_data(geometry, positions, momenta, scene.camera.velocity)
+
+    discs = tuple(
+        gp.DiscSpec(float(o.inner_radius), float(o.outer_radius), idx)
+        for idx, o in enumerate(scene.objects)
+    )
+    y_f, stop, steps, ev_kind, ev_data, ev_count = gp.kerr_rk4_march(
+        geometry.radius,
+        geometry.a,
+        geometry.horizon_epsilon,
+        y0,
+        h0=float(cfg.step_size) * 5.0,
+        max_steps=cfg.max_steps,
+        max_radius=float(cfg.max_radius),
+        discs=discs,
+        interpret=interpret,
+    )
+
+    res = integ.IntegrationResult(
+        y=y_f,
+        affine=jnp.zeros((y_f.shape[0],), y_f.dtype),
+        steps=steps,
+        stop_code=stop,
+        ev_kind=ev_kind,
+        ev_data=ev_data,
+        ev_count=ev_count,
+        ev_overflow=ev_count >= gp.MAX_EVENTS,
+        kk_drift=jnp.zeros((y_f.shape[0],), y_f.dtype),
+        const_drift=jnp.zeros((y_f.shape[0], 0), y_f.dtype),
+    )
+    colors = scn._shade_events(scene, freq, res)
+    celestial = scn._celestial_color(scene, freq, solver, res)
+    color, ray_class = scn.fold_samples(scene, res.ev_kind, colors, res.stop_code, celestial)
+    return scn.RaySamples(
+        color=color[:n],
+        ray_class=ray_class[:n],
+        stop_code=res.stop_code[:n],
+        steps=res.steps[:n],
+        ev_overflow=res.ev_overflow[:n],
+        kk_drift=res.kk_drift[:n],
+        const_drift=res.const_drift[:n],
+    )

@@ -1,0 +1,94 @@
+"""Pallas RK4 geodesic kernel: parity vs the adaptive RKF45 lax path
+(interpret mode on CPU; the compiled path is exercised by bench.py on real
+TPU hardware). SURVEY.md stage 12."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from gr_raytracer_tpu import presets
+from gr_raytracer_tpu.ops import geodesic_pallas as gp
+from gr_raytracer_tpu.rendering import camera as cam
+from gr_raytracer_tpu.rendering import fast_path
+from gr_raytracer_tpu.rendering import scene as scn
+
+
+def flagship(rows=8, cols=16, dtype=jnp.float32):
+    params = presets.kerr_flagship_params(dtype)
+    scene = presets.build_kerr_flagship(
+        params, rows, cols, max_steps=2000, max_radius=40.0, step_size=0.05
+    )
+    rr, cc = jnp.meshgrid(
+        jnp.arange(rows, dtype=dtype), jnp.arange(cols, dtype=dtype), indexing="ij"
+    )
+    x, p = cam.pixel_rays(scene.camera, rr.ravel(), cc.ravel())
+    return scene, x, p
+
+
+def test_supports_scene():
+    scene, _, _ = flagship(2, 2)
+    assert fast_path.supports_scene(scene)
+    assert not fast_path.supports_scene(scene.replace(objects=(object(),)))
+
+
+def test_kernel_parity_with_rkf45_path():
+    scene, x, p = flagship()
+    ref = scn.trace_rays(scene, x, p)
+    fast = fast_path.trace_rays_fast(scene, x, p, interpret=True)
+
+    stop_ref = np.asarray(ref.stop_code)
+    stop_fast = np.asarray(fast.stop_code)
+    # Different integrators may classify a grazing ray differently; require
+    # near-total agreement, not exactness.
+    assert (stop_ref == stop_fast).mean() > 0.95
+
+    tone = lambda c: c / (1.0 + c)
+    c_ref = tone(np.asarray(ref.color))
+    c_fast = tone(np.asarray(fast.color))
+    agree = stop_ref == stop_fast
+    np.testing.assert_allclose(c_fast[agree], c_ref[agree], atol=0.05)
+    assert np.abs(c_fast[agree] - c_ref[agree]).mean() < 1e-3
+
+
+def test_kernel_hamiltonian_conservation():
+    """H = ½ g^{μν} p_μ p_ν ≈ 0 for null rays must survive the march."""
+    scene, x, p = flagship(4, 8, dtype=jnp.float32)
+    geometry = scene.geometry
+    solver = geometry.make_solver(x, p)
+    y0 = solver.initial_state(x, p)
+    pad = (-y0.shape[0]) % gp.LANE_TILE
+    y0p = jnp.concatenate([y0, jnp.broadcast_to(y0[:1], (pad, 8))])
+    y_f, stop, steps, *_ = gp.kerr_rk4_march(
+        geometry.radius,
+        geometry.a,
+        geometry.horizon_epsilon,
+        y0p,
+        h0=0.25,
+        max_steps=2000,
+        max_radius=40.0,
+        interpret=True,
+    )
+    y_f = np.asarray(y_f)[: y0.shape[0]]
+    stop = np.asarray(stop)[: y0.shape[0]]
+    h_final = np.asarray(
+        gp._hamiltonian(
+            float(geometry.radius),
+            float(geometry.a),
+            jnp.asarray(y_f[:, 1:4].T),
+            jnp.asarray(y_f[:, 4:8].T),
+        )
+    )
+    escaped = stop == 2
+    assert escaped.any()
+    # Momentum scale is O(1); |H| stays small along escaped rays (f32 march).
+    assert np.abs(h_final[escaped]).max() < 5e-4
+
+
+def test_kernel_records_disc_crossings():
+    scene, x, p = flagship()
+    fast = fast_path.trace_rays_fast(scene, x, p, interpret=True)
+    ref = scn.trace_rays(scene, x, p)
+    # The disc is visible in this framing: both paths classify some rays HIT.
+    assert (np.asarray(fast.ray_class) == scn.HIT).any()
+    hit_frac_ref = (np.asarray(ref.ray_class) == scn.HIT).mean()
+    hit_frac_fast = (np.asarray(fast.ray_class) == scn.HIT).mean()
+    assert abs(hit_frac_ref - hit_frac_fast) < 0.05
