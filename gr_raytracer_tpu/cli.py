@@ -127,16 +127,24 @@ def _load_scene(args, dtype):
 
 def _save_trajectory_csv(path, states, affine, valid, chart, spin):
     """CSV export in Cartesian (ray.rs:35-54). states: [S, 8] f64 numpy."""
+    from gr_raytracer_tpu import native
     from gr_raytracer_tpu.geometry import chart as charts
     import jax.numpy as jnp
 
-    with open(path, "w") as f:
-        f.write("i,t,tau,x,y,z\n")
-        n_valid = int(valid.sum())
-        cart = np.asarray(charts.to_cartesian(jnp.asarray(states[..., :4]), chart, spin))
+    n_valid = int(valid.sum())
+    cart = np.asarray(charts.to_cartesian(jnp.asarray(states[..., :4]), chart, spin))
+    text = native.trajectory_csv(
+        np.arange(n_valid, dtype=np.int64), np.asarray(affine[:n_valid], np.float64),
+        np.asarray(cart[:n_valid], np.float64),
+    )
+    if text is None:
+        lines = ["i,t,tau,x,y,z\n"]
         for i in range(n_valid):
             t = affine[i]
-            f.write(f"{i},{t},{cart[i, 0]},{cart[i, 1]},{cart[i, 2]},{cart[i, 3]}\n")
+            lines.append(f"{i},{t},{cart[i, 0]},{cart[i, 1]},{cart[i, 2]},{cart[i, 3]}\n")
+        text = "".join(lines)
+    with open(path, "w") as f:
+        f.write(text)
     print(f"saved ray to {path}")
 
 

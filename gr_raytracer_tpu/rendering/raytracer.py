@@ -289,10 +289,12 @@ def render_section(
 
     sel_r, sel_c = np.nonzero(mask)
     if sel_r.size:
+        from gr_raytracer_tpu import native
+
         n_spp = cfg.samples_per_axis**2
         abs_r = sel_r + from_row
         abs_c = sel_c + from_col
-        dx, dy = stratified_sample_offsets(abs_r, abs_c, cfg.samples_per_axis)
+        dx, dy = native.stratified_offsets(abs_r, abs_c, cfg.samples_per_axis)
         # get_ray_for_offset: row + (dy − ½), col + (dx − ½) (camera.rs:247-254)
         row_f = (abs_r[:, None] + (dy - 0.5)).ravel()
         col_f = (abs_c[:, None] + (dx - 0.5)).ravel()
@@ -308,21 +310,41 @@ def render_section(
 
 
 def write_image(path: str, output_color: np.ndarray, tone_mapping: str = col.TONE_MAPPING_REINHARD):
-    """Write [H, W, 4] XYZA: Radiance .hdr (raw XYZ) or tone-mapped 8-bit."""
+    """Write [H, W, 4] XYZA: Radiance .hdr (raw XYZ) or tone-mapped 8-bit.
+    PNG encoding goes through the native library when available (native.py),
+    with PIL as the fallback."""
     if path.endswith(".hdr"):
         write_radiance_hdr(path, output_color[..., :3].astype(np.float32))
-    else:
-        img = np.asarray(
-            col.xyza_buffer_to_srgb8(jnp.asarray(output_color), method=tone_mapping)
-        )
-        from PIL import Image
+        return
+    img = np.asarray(
+        col.xyza_buffer_to_srgb8(jnp.asarray(output_color), method=tone_mapping)
+    )
+    if path.endswith(".png"):
+        from gr_raytracer_tpu import native
 
-        Image.fromarray(img).save(path)
+        data = native.png_encode(img)
+        if data is not None:
+            with open(path, "wb") as f:
+                f.write(data)
+            return
+    from PIL import Image
+
+    Image.fromarray(img).save(path)
 
 
 def write_radiance_hdr(path: str, rgb: np.ndarray):
-    """Minimal Radiance RGBE writer (flat scanlines, universally readable)."""
+    """Minimal Radiance RGBE writer (flat scanlines, universally readable).
+    Uses the native encoder when available."""
+    from gr_raytracer_tpu import native
+
     h, w, _ = rgb.shape
+    rgbe_native = native.rgbe_encode(np.maximum(rgb, 0.0).astype(np.float32))
+    if rgbe_native is not None:
+        with open(path, "wb") as f:
+            f.write(b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n")
+            f.write(f"-Y {h} +X {w}\n".encode())
+            f.write(rgbe_native.tobytes())
+        return
     rgb = np.maximum(rgb, 0.0).astype(np.float64)
     v = rgb.max(axis=-1)
     with np.errstate(divide="ignore", invalid="ignore"):
