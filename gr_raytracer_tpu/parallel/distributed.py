@@ -1,0 +1,88 @@
+"""Multi-host orchestration: distributed init + frame assembly + scaling
+measurement.
+
+The reference is a single process; its only partial-frame primitive is the
+section render that external scripts stitch (cli/cli.rs:66-73). Here the
+pixel grid is sharded over all hosts' devices via the same 1-D ray mesh
+(mesh.py), each host computes its shard, and the frame is assembled either
+host-locally (each host writes its rows) or through the output sharding's
+implicit all-gather.
+
+Target metric (BASELINE.json): >=85% rays/s scaling efficiency 1 -> N hosts.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gr_raytracer_tpu.parallel import mesh as pmesh
+
+
+def initialize(coordinator_address=None, num_processes=None, process_id=None):
+    """jax.distributed.initialize wrapper: no-op for single-process runs,
+    required once per host on a multi-host pod slice (reads the cluster env
+    when arguments are omitted)."""
+    if num_processes is not None and num_processes > 1 or coordinator_address is not None:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return jax.process_count(), jax.process_index()
+
+
+def render_frame_sharded(scene, rows: int, cols: int, mesh=None, chunk_rows: int = 0):
+    """Render a full frame with the ray grid sharded over the mesh.
+
+    Returns the [rows, cols, 4] frame on every host (all-gather via the
+    replicated output sharding). For host-local assembly (huge frames),
+    slice addressable_shards on the sharded color instead.
+    """
+    from gr_raytracer_tpu.rendering import camera as cam
+
+    if mesh is None:
+        mesh = pmesh.ray_mesh()
+    tracer = pmesh.make_sharded_tracer(scene, mesh)
+    dtype = scene.camera.position.dtype
+    rr, cc = jnp.meshgrid(
+        jnp.arange(rows, dtype=dtype), jnp.arange(cols, dtype=dtype), indexing="ij"
+    )
+    x, p = cam.pixel_rays(scene.camera, rr.ravel(), cc.ravel())
+    xs, ps, n_valid = pmesh.shard_rays(mesh, x, p)
+    color = tracer(scene, xs, ps)
+    return np.asarray(jax.device_get(color))[:n_valid].reshape(rows, cols, 4)
+
+
+def measure_scaling(scene, rows: int, cols: int, device_counts, repeats: int = 2):
+    """rays/s for meshes of increasing size; returns
+    {n_devices: rays_per_s} plus the efficiency vs linear scaling from the
+    smallest mesh. On a single host with a virtual CPU mesh this validates
+    the mechanism, not the ICI bandwidth."""
+    from gr_raytracer_tpu.rendering import camera as cam
+
+    results = {}
+    dtype = scene.camera.position.dtype
+    rr, cc = jnp.meshgrid(
+        jnp.arange(rows, dtype=dtype), jnp.arange(cols, dtype=dtype), indexing="ij"
+    )
+    x, p = cam.pixel_rays(scene.camera, rr.ravel(), cc.ravel())
+    for n_dev in device_counts:
+        mesh = pmesh.ray_mesh(jax.devices()[:n_dev])
+        tracer = pmesh.make_sharded_tracer(scene, mesh)
+        xs, ps, n_valid = pmesh.shard_rays(mesh, x, p)
+        jax.device_get(tracer(scene, xs, ps))  # compile + warm
+        best = np.inf
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            jax.device_get(tracer(scene, xs, ps))
+            best = min(best, time.perf_counter() - t0)
+        results[n_dev] = n_valid / best
+    base = min(results)
+    efficiency = {
+        n: results[n] / (results[base] * n / base) for n in results
+    }
+    return results, efficiency

@@ -1,0 +1,48 @@
+"""Distributed helpers: init no-op, sharded full-frame assembly, scaling
+harness mechanism, camera-ray debug dump."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from gr_raytracer_tpu import presets
+from gr_raytracer_tpu.parallel import distributed
+from gr_raytracer_tpu.rendering import raytracer as rt
+from gr_raytracer_tpu.utils import debug as dbg
+
+
+def small_scene(rows=4, cols=8):
+    params = presets.kerr_flagship_params(jnp.float64)
+    return presets.build_kerr_flagship(params, rows, cols, max_steps=300, max_radius=25.0)
+
+
+def test_initialize_single_process():
+    n, idx = distributed.initialize()
+    assert n == 1 and idx == 0
+
+
+def test_render_frame_sharded_matches_driver():
+    scene = small_scene()
+    frame = distributed.render_frame_sharded(scene, 4, 8)
+    assert frame.shape == (4, 8, 4)
+    out = rt.render_section(scene.replace(adaptive=scene.adaptive.__class__(enabled=False)), chunk_size=32)
+    np.testing.assert_allclose(frame, out.color, rtol=1e-10, atol=1e-10)
+
+
+def test_measure_scaling_mechanism():
+    scene = small_scene()
+    rates, eff = distributed.measure_scaling(scene, 4, 8, [1, 2], repeats=1)
+    assert set(rates) == {1, 2}
+    assert all(v > 0 for v in rates.values())
+    assert eff[1] == 1.0
+
+
+def test_dump_camera_rays(tmp_path):
+    scene = small_scene(3, 5)
+    path = dbg.dump_camera_rays(scene, str(tmp_path / "rays.csv"))
+    lines = open(path).read().strip().split("\n")
+    assert lines[0] == "row,col,p_t,p_1,p_2,p_3,k_dot_k"
+    assert len(lines) == 1 + 15
+    # Null condition holds for every dumped ray.
+    kk = np.array([float(l.split(",")[-1]) for l in lines[1:]])
+    assert np.abs(kk).max() < 1e-10
