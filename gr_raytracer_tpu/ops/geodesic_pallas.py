@@ -124,6 +124,44 @@ class DiscSpec(NamedTuple):
     kind: int  # object index in the scene
 
 
+def _store_disc_events(
+    discs, crossing, px, py, p_interp, seg, ev_kind, ev_data, ev_count
+):
+    """Fold equatorial-plane crossings into the per-lane event buffer.
+    px/py: crossing point in the equatorial plane (Cartesian); p_interp:
+    [4, T] interpolated contravariant momentum; seg: [3, T] segment dir."""
+    t = px.shape[-1]
+    rr = jnp.sqrt(px * px + py * py)
+    phi = jnp.arctan2(py, px)
+    for disc in discs:
+        hit = crossing & (rr >= disc.inner) & (rr <= disc.outer)
+        r_norm = (rr - disc.inner) / (disc.outer - disc.inner)
+        u = 0.5 + 0.5 * r_norm * jnp.cos(phi)
+        v = 0.5 + 0.5 * r_norm * jnp.sin(phi)
+        payload = jnp.concatenate(
+            [
+                px[None],
+                py[None],
+                jnp.zeros_like(px)[None],
+                p_interp,
+                u[None],
+                v[None],
+                seg,
+            ],
+            axis=0,
+        )  # [12, T]
+        store = hit & (ev_count[0] < MAX_EVENTS)
+        slot = jax.lax.broadcasted_iota(jnp.int32, (MAX_EVENTS, t), 0)
+        sel = (slot == ev_count[0][None, :]) & store[None, :]
+        ev_kind = jnp.where(sel, disc.kind, ev_kind)
+        comp = jax.lax.broadcasted_iota(jnp.int32, (MAX_EVENTS * EVENT_WIDTH, t), 0)
+        sel_data = (comp // EVENT_WIDTH == ev_count[0][None, :]) & store[None, :]
+        tiled = jnp.tile(payload, (MAX_EVENTS, 1))
+        ev_data = jnp.where(sel_data, tiled, ev_data)
+        ev_count = ev_count + store[None, :].astype(jnp.int32)
+    return ev_kind, ev_data, ev_count
+
+
 def _march_kernel(
     y_ref,
     param_ref,  # SMEM [8,1]: radius, a, horizon_eps, h0, max_radius, h_min_frac, r_ref, _
@@ -219,40 +257,13 @@ def _march_kernel(
             frac = z_prev / (z_prev - z_new + jnp.where(z_prev == z_new, 1.0, 0.0))
             px = y[1] + frac * (y_new[1] - y[1])
             py = y[2] + frac * (y_new[2] - y[2])
-            rr = jnp.sqrt(px * px + py * py)
             p_prev = _momentum_contra(radius, a, y)
             p_new = _momentum_contra(radius, a, y_new)
             p_interp = p_prev + frac[None, :] * (p_new - p_prev)
-            phi = jnp.arctan2(py, px)
             seg = y_new[1:4] - y[1:4]
-            for disc in discs:
-                hit = crossing & (rr >= disc.inner) & (rr <= disc.outer)
-                r_norm = (rr - disc.inner) / (disc.outer - disc.inner)
-                u = 0.5 + 0.5 * r_norm * jnp.cos(phi)
-                v = 0.5 + 0.5 * r_norm * jnp.sin(phi)
-                payload = jnp.concatenate(
-                    [
-                        px[None],
-                        py[None],
-                        jnp.zeros_like(px)[None],
-                        p_interp,
-                        u[None],
-                        v[None],
-                        seg,
-                    ],
-                    axis=0,
-                )  # [12, T]
-                store = hit & (ev_count[0] < MAX_EVENTS)
-                slot = jax.lax.broadcasted_iota(jnp.int32, (MAX_EVENTS, t), 0)
-                sel = (slot == ev_count[0][None, :]) & store[None, :]
-                ev_kind = jnp.where(sel, disc.kind, ev_kind)
-                comp = jax.lax.broadcasted_iota(
-                    jnp.int32, (MAX_EVENTS * EVENT_WIDTH, t), 0
-                )
-                sel_data = (comp // EVENT_WIDTH == ev_count[0][None, :]) & store[None, :]
-                tiled = jnp.tile(payload, (MAX_EVENTS, 1))
-                ev_data = jnp.where(sel_data, tiled, ev_data)
-                ev_count = ev_count + store[None, :].astype(jnp.int32)
+            ev_kind, ev_data, ev_count = _store_disc_events(
+                discs, crossing, px, py, p_interp, seg, ev_kind, ev_data, ev_count
+            )
 
         return (y_new, stop_new, steps_new, ev_kind, ev_data, ev_count, it + 1)
 
@@ -339,6 +350,263 @@ def kerr_rk4_march(
         stop[0],
         steps[0],
         ev_kind.T,  # [N, K]
+        ev_data.T.reshape(n, MAX_EVENTS, EVENT_WIDTH),
+        ev_count[0],
+    )
+
+
+# ---------------------------------------------------------------------------
+# KerrBL: Carter-separated Mino-time march
+# ---------------------------------------------------------------------------
+
+
+def _bl_rhs(r_s, a, e, l_z, q, y):
+    """Mino-time RHS for y = (t, r, θ, φ, v_r, v_θ, 0, 0) as [8, T];
+    (e, l_z, q) are per-lane conserved scalars [T]. ~20 flops/lane
+    (kerr_bl.rs:140-174)."""
+    r, theta = y[1], y[2]
+    delta = r * r - r_s * r + a * a
+    p_r = (r * r + a * a) * e - a * l_z
+    st = jnp.sin(theta)
+    ct = jnp.cos(theta)
+    sin2 = st * st
+    dt = (r * r + a * a) / delta * p_r + a * (l_z - a * e * sin2)
+    dphi = a / delta * p_r + l_z / sin2 - a * e
+    carter_term = (l_z - a * e) ** 2 + q
+    dv_r = 0.5 * (4.0 * r * e * p_r - (2.0 * r - r_s) * carter_term)
+    dv_theta = 0.5 * (-2.0 * a * a * e * e * ct * st + 2.0 * l_z * l_z * ct / (st * st * st))
+    zero = jnp.zeros_like(dt)
+    return jnp.stack([dt, y[4], y[5], dphi, dv_r, dv_theta, zero, zero], axis=0)
+
+
+def _bl_momentum(r_s, a, e, l_z, y):
+    """p^μ = (1/Σ)(dt, v_r, v_θ, dφ), [4, T] (kerr_bl.rs:225-249)."""
+    r, theta = y[1], y[2]
+    sig = r * r + a * a * jnp.cos(theta) ** 2
+    delta = r * r - r_s * r + a * a
+    p_r = (r * r + a * a) * e - a * l_z
+    sin2 = jnp.sin(theta) ** 2
+    dt = (r * r + a * a) / delta * p_r + a * (l_z - a * e * sin2)
+    dphi = a / delta * p_r + l_z / sin2 - a * e
+    return jnp.stack([dt, y[4], y[5], dphi], axis=0) / sig[None, :]
+
+
+def _bl_march_kernel(
+    y_ref,
+    consts_ref,  # VMEM [3 (padded to 8), TILE]: E, L_z, Q per lane
+    param_ref,  # SMEM [8,1]: radius, a, horizon_eps, h0, max_radius, h_min_frac, r_ref, _
+    y_out_ref,
+    stop_ref,
+    steps_ref,
+    ev_kind_ref,
+    ev_data_ref,
+    ev_count_ref,
+    *,
+    max_steps: int,
+    discs: tuple,
+):
+    radius = param_ref[0, 0]
+    a = param_ref[1, 0]
+    horizon_eps = param_ref[2, 0]
+    h0 = param_ref[3, 0]
+    max_radius = param_ref[4, 0]
+    h_min_frac = param_ref[5, 0]
+    r_ref_scale = param_ref[6, 0]
+
+    y0 = y_ref[:, :]
+    e = consts_ref[0, :]
+    l_z = consts_ref[1, :]
+    q = consts_ref[2, :]
+    t = y0.shape[-1]
+    m = 0.5 * radius
+    r_plus = m + jnp.sqrt(jnp.maximum(m * m - a * a, 0.0))
+    max_radius_sq = max_radius * max_radius
+
+    # Mino-time step: dr/dλ = v_r ~ E r² far out, so h ∝ 1/(|E|(1+r²/r_ref))
+    # gives a ~constant far-field spatial step ~ h0·r_ref; the same
+    # distance-above-horizon shrink as the KS kernel handles photon-ring
+    # orbits.
+    inv_e = 1.0 / jnp.maximum(jnp.abs(e), 1e-12)
+
+    carry0 = (
+        y0,
+        jnp.zeros((1, t), jnp.int32),
+        jnp.zeros((1, t), jnp.int32),
+        jnp.full((MAX_EVENTS, t), -1, jnp.int32),
+        jnp.zeros((MAX_EVENTS * EVENT_WIDTH, t), y0.dtype),
+        jnp.zeros((1, t), jnp.int32),
+        jnp.zeros((), jnp.int32),
+    )
+
+    def cond(c):
+        _, stop, _, _, _, _, it = c
+        return jnp.logical_and(jnp.any(stop[0] == integ.RUNNING), it < max_steps)
+
+    def body(c):
+        y, stop, steps, ev_kind, ev_data, ev_count, it = c
+        active = stop[0] == integ.RUNNING
+
+        r_here = y[1]
+        h = (
+            h0
+            * inv_e
+            / (1.0 + (r_here / r_ref_scale) ** 2)
+            * jnp.clip((r_here - r_plus) / r_ref_scale, h_min_frac, 1.0)
+        )
+
+        k1 = _bl_rhs(radius, a, e, l_z, q, y)
+        k2 = _bl_rhs(radius, a, e, l_z, q, y + 0.5 * h * k1)
+        k3 = _bl_rhs(radius, a, e, l_z, q, y + 0.5 * h * k2)
+        k4 = _bl_rhs(radius, a, e, l_z, q, y + h * k3)
+        y_new = y + (h / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+        y_new = jnp.where(active[None, :], y_new, y)
+
+        pos_finite = (
+            jnp.isfinite(y_new[0])
+            & jnp.isfinite(y_new[1])
+            & jnp.isfinite(y_new[2])
+            & jnp.isfinite(y_new[3])
+        )
+        mom_finite = jnp.isfinite(y_new[4]) & jnp.isfinite(y_new[5])
+        r_new = y_new[1]
+        horizon = r_new <= r_plus + horizon_eps
+        escaped = r_new * r_new > max_radius_sq
+        steps_new = steps + active[None, :].astype(jnp.int32)
+        trapped = (steps_new[0] >= max_steps - 1) & (r_new < 5.0 * radius)
+        budget = steps_new[0] >= max_steps - 1
+
+        code = jnp.full((t,), integ.RUNNING, jnp.int32)
+        code = jnp.where(~mom_finite, integ.NAN, code)
+        code = jnp.where(escaped, integ.CELESTIAL, code)
+        code = jnp.where(trapped, integ.TRAPPED, code)
+        code = jnp.where(horizon, integ.HORIZON, code)
+        code = jnp.where(~pos_finite, integ.NAN, code)
+        code = jnp.where((code == integ.RUNNING) & budget, integ.BUDGET, code)
+        stop_new = jnp.where(active, code, stop[0])[None, :]
+
+        if discs:
+            # Equatorial crossing in BL: θ through π/2 (z = r cosθ).
+            half_pi = jnp.asarray(jnp.pi / 2, y.dtype)
+            d_prev = y[2] - half_pi
+            d_new = y_new[2] - half_pi
+            crossing = (d_prev * d_new < 0.0) & active
+            frac = d_prev / (d_prev - d_new + jnp.where(d_prev == d_new, 1.0, 0.0))
+            r_c = y[1] + frac * (y_new[1] - y[1])
+            phi_c = y[3] + frac * (y_new[3] - y[3])
+            sp = jnp.sin(phi_c)
+            cp = jnp.cos(phi_c)
+            px = r_c * cp - a * sp  # KS embedding at θ = π/2
+            py = r_c * sp + a * cp
+            p_prev = _bl_momentum(radius, a, e, l_z, y)
+            p_new = _bl_momentum(radius, a, e, l_z, y_new)
+            p_interp = p_prev + frac[None, :] * (p_new - p_prev)
+            # Cartesian segment direction via the spatial embedding delta.
+            sp0, cp0 = jnp.sin(y[3]), jnp.cos(y[3])
+            sp1, cp1 = jnp.sin(y_new[3]), jnp.cos(y_new[3])
+            st0, ct0 = jnp.sin(y[2]), jnp.cos(y[2])
+            st1, ct1 = jnp.sin(y_new[2]), jnp.cos(y_new[2])
+            x0 = (y[1] * cp0 - a * sp0) * st0
+            y0c = (y[1] * sp0 + a * cp0) * st0
+            z0 = y[1] * ct0
+            x1 = (y_new[1] * cp1 - a * sp1) * st1
+            y1c = (y_new[1] * sp1 + a * cp1) * st1
+            z1 = y_new[1] * ct1
+            seg = jnp.stack([x1 - x0, y1c - y0c, z1 - z0], axis=0)
+            ev_kind, ev_data, ev_count = _store_disc_events(
+                discs, crossing, px, py, p_interp, seg, ev_kind, ev_data, ev_count
+            )
+
+        return (y_new, stop_new, steps_new, ev_kind, ev_data, ev_count, it + 1)
+
+    y_f, stop_f, steps_f, ev_kind_f, ev_data_f, ev_count_f, _ = jax.lax.while_loop(
+        cond, body, carry0
+    )
+    stop_f = jnp.where(stop_f == integ.RUNNING, integ.BUDGET, stop_f)
+    y_out_ref[:, :] = y_f
+    stop_ref[:, :] = stop_f
+    steps_ref[:, :] = steps_f
+    ev_kind_ref[:, :] = ev_kind_f
+    ev_data_ref[:, :] = ev_data_f
+    ev_count_ref[:, :] = ev_count_f
+
+
+def kerr_bl_rk4_march(
+    radius,
+    a,
+    horizon_epsilon,
+    y0,  # [N, 8] Mino state (t, r, θ, φ, v_r, v_θ, 0, 0)
+    e,
+    l_z,
+    q,  # [N] conserved scalars
+    h0: float,
+    max_steps: int,
+    max_radius: float,
+    discs: tuple = (),
+    h_min_frac: float = 0.02,
+    r_ref_scale: float = 10.0,
+    interpret: bool = False,
+):
+    """Carter-separated Mino-time RK4 march (the reference's fast geometry,
+    ~8-9× cheaper RHS than the KS Hamiltonian)."""
+    n = y0.shape[0]
+    assert n % LANE_TILE == 0, f"N must be a multiple of {LANE_TILE}"
+    dtype = y0.dtype
+    y_t = y0.T
+    consts = jnp.concatenate(
+        [e[None, :], l_z[None, :], q[None, :], jnp.zeros((5, n), dtype)], axis=0
+    )
+
+    params = jnp.array(
+        [
+            [radius],
+            [a],
+            [horizon_epsilon],
+            [h0],
+            [max_radius],
+            [h_min_frac],
+            [r_ref_scale],
+            [0.0],
+        ],
+        dtype,
+    )
+
+    grid = (n // LANE_TILE,)
+    lane_spec = lambda rows: pl.BlockSpec(
+        (rows, LANE_TILE), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    kernel = functools.partial(_bl_march_kernel, max_steps=max_steps, discs=tuple(discs))
+    y_f, stop, steps, ev_kind, ev_data, ev_count = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            lane_spec(8),
+            lane_spec(8),
+            pl.BlockSpec((8, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            lane_spec(8),
+            lane_spec(1),
+            lane_spec(1),
+            lane_spec(MAX_EVENTS),
+            lane_spec(MAX_EVENTS * EVENT_WIDTH),
+            lane_spec(1),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((8, n), dtype),
+            jax.ShapeDtypeStruct((1, n), jnp.int32),
+            jax.ShapeDtypeStruct((1, n), jnp.int32),
+            jax.ShapeDtypeStruct((MAX_EVENTS, n), jnp.int32),
+            jax.ShapeDtypeStruct((MAX_EVENTS * EVENT_WIDTH, n), dtype),
+            jax.ShapeDtypeStruct((1, n), jnp.int32),
+        ],
+        interpret=interpret,
+    )(y_t, consts, params)
+
+    return (
+        y_f.T,
+        stop[0],
+        steps[0],
+        ev_kind.T,
         ev_data.T.reshape(n, MAX_EVENTS, EVENT_WIDTH),
         ev_count[0],
     )

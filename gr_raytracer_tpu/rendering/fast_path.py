@@ -11,6 +11,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from gr_raytracer_tpu.geometry.kerr import Kerr
+from gr_raytracer_tpu.geometry.kerr_bl import KerrBL
 from gr_raytracer_tpu.objects.disc import Disc
 from gr_raytracer_tpu.ops import geodesic_pallas as gp
 from gr_raytracer_tpu.rendering import integrator as integ
@@ -19,7 +20,7 @@ from gr_raytracer_tpu.rendering.redshift import ray_frequency_data
 
 
 def supports_scene(scene) -> bool:
-    return isinstance(scene.geometry, Kerr) and all(
+    return isinstance(scene.geometry, (Kerr, KerrBL)) and all(
         isinstance(o, Disc) for o in scene.objects
     )
 
@@ -49,17 +50,35 @@ def trace_rays_fast(scene, positions, momenta, interpret: bool = False):
         gp.DiscSpec(float(o.inner_radius), float(o.outer_radius), idx)
         for idx, o in enumerate(scene.objects)
     )
-    y_f, stop, steps, ev_kind, ev_data, ev_count = gp.kerr_rk4_march(
-        geometry.radius,
-        geometry.a,
-        geometry.horizon_epsilon,
-        y0,
-        h0=float(cfg.step_size) * 5.0,
-        max_steps=cfg.max_steps,
-        max_radius=float(cfg.max_radius),
-        discs=discs,
-        interpret=interpret,
-    )
+    if isinstance(geometry, KerrBL):
+        # Mino-time march; h0 = step_size gives a far-field spatial step of
+        # ~h0·r_ref² ≈ 1 at the default 0.01 (the lax path's H_MAX).
+        y_f, stop, steps, ev_kind, ev_data, ev_count = gp.kerr_bl_rk4_march(
+            geometry.radius,
+            geometry.a,
+            geometry.horizon_epsilon,
+            y0,
+            solver.e,
+            solver.l_z,
+            solver.q,
+            h0=float(cfg.step_size),
+            max_steps=cfg.max_steps,
+            max_radius=float(cfg.max_radius),
+            discs=discs,
+            interpret=interpret,
+        )
+    else:
+        y_f, stop, steps, ev_kind, ev_data, ev_count = gp.kerr_rk4_march(
+            geometry.radius,
+            geometry.a,
+            geometry.horizon_epsilon,
+            y0,
+            h0=float(cfg.step_size) * 5.0,
+            max_steps=cfg.max_steps,
+            max_radius=float(cfg.max_radius),
+            discs=discs,
+            interpret=interpret,
+        )
 
     res = integ.IntegrationResult(
         y=y_f,

@@ -92,3 +92,63 @@ def test_kernel_records_disc_crossings():
     hit_frac_ref = (np.asarray(ref.ray_class) == scn.HIT).mean()
     hit_frac_fast = (np.asarray(fast.ray_class) == scn.HIT).mean()
     assert abs(hit_frac_ref - hit_frac_fast) < 0.05
+
+
+def kerr_bl_scene(rows=8, cols=16, dtype=jnp.float64):
+    from gr_raytracer_tpu import config as cfgmod
+    import numpy as np
+
+    toml = """
+celestial_temperature = 0.0
+[celestial_texture.Checker]
+beaming_exponent = 0.0
+width = 18.0
+height = 9.0
+color1 = [40, 40, 120]
+color2 = [5, 5, 20]
+[geometry_type.KerrBL]
+radius = 1.0
+a = 0.45
+horizon_epsilon = 1e-3
+[[objects]]
+[objects.Disc]
+inner_radius = 2.0
+outer_radius = 6.0
+temperature = 5000.0
+[objects.Disc.texture.BlackBody]
+beaming_exponent = 3.0
+"""
+    cfg = cfgmod.parse_config(toml)
+    opts = cfgmod.RenderOptions(
+        width=cols,
+        height=rows,
+        max_steps=3000,
+        max_radius=40.0,
+        step_size=0.01,
+        camera_position=(-10.0, 0.0, -0.5),
+        theta=-np.pi,
+    )
+    scene = cfgmod.create_scene(cfg, opts, dtype)
+    rr, cc = jnp.meshgrid(
+        jnp.arange(rows, dtype=dtype), jnp.arange(cols, dtype=dtype), indexing="ij"
+    )
+    x, p = cam.pixel_rays(scene.camera, rr.ravel(), cc.ravel())
+    return scene, x, p
+
+
+def test_kerr_bl_kernel_parity_with_rkf45_path():
+    scene, x, p = kerr_bl_scene()
+    assert fast_path.supports_scene(scene)
+    ref = scn.trace_rays(scene, x, p)
+    fast = fast_path.trace_rays_fast(scene, x, p, interpret=True)
+    stop_ref = np.asarray(ref.stop_code)
+    stop_fast = np.asarray(fast.stop_code)
+    assert (stop_ref == stop_fast).mean() > 0.9
+    tone = lambda c: c / (1.0 + c)
+    agree = stop_ref == stop_fast
+    c_ref = tone(np.asarray(ref.color))[agree]
+    c_fast = tone(np.asarray(fast.color))[agree]
+    assert np.abs(c_ref - c_fast).mean() < 5e-3
+    # Both paths should see disc hits in this framing.
+    assert (np.asarray(ref.ray_class) == scn.HIT).any()
+    assert (np.asarray(fast.ray_class) == scn.HIT).any()
