@@ -25,12 +25,43 @@ def supports_scene(scene) -> bool:
     )
 
 
-def trace_rays_fast(scene, positions, momenta, interpret: bool = False):
+def scene_discs(scene) -> tuple:
+    """Static DiscSpec tuple from a CONCRETE scene (fails on tracers)."""
+    return tuple(
+        gp.DiscSpec(float(o.inner_radius), float(o.outer_radius), idx)
+        for idx, o in enumerate(scene.objects)
+    )
+
+
+def make_fast_tracer(concrete_scene):
+    """jitted (scene, row_f, col_f) -> (color, ray_class) with the disc
+    bounds baked static from the concrete scene (kernel requirement); the
+    rest of the scene stays traced so parameter sweeps reuse the compile."""
+    import jax
+
+    from gr_raytracer_tpu.rendering import camera as cam
+
+    discs = scene_discs(concrete_scene)
+
+    @jax.jit
+    def fn(scene, row_f, col_f):
+        x, p = cam.pixel_rays(scene.camera, row_f, col_f)
+        s = trace_rays_fast(scene, x, p, discs=discs)
+        return s.color, s.ray_class
+
+    return fn
+
+
+def trace_rays_fast(scene, positions, momenta, interpret: bool = False, discs=None):
     """Drop-in for scene.trace_rays on supported scenes (see supports_scene).
 
     N is padded to the kernel lane tile; fixed-step RK4 with radius-scaled h
     (h0 = 5× the scene step_size — RK4's local error is ~h⁵ vs the RKF45
-    controller's accepted ε, and the kernel shrinks h near the hole)."""
+    controller's accepted ε, and the kernel shrinks h near the hole).
+
+    Disc radial bounds must be STATIC for the kernel; when called with a
+    traced scene (under jit), precompute them from the concrete scene and
+    pass `discs` (see make_fast_tracer)."""
     if not supports_scene(scene):
         raise ValueError("pallas fast path supports Kerr + thin discs only")
     geometry = scene.geometry
@@ -46,10 +77,8 @@ def trace_rays_fast(scene, positions, momenta, interpret: bool = False):
     y0 = solver.initial_state(positions, momenta)
     freq = ray_frequency_data(geometry, positions, momenta, scene.camera.velocity)
 
-    discs = tuple(
-        gp.DiscSpec(float(o.inner_radius), float(o.outer_radius), idx)
-        for idx, o in enumerate(scene.objects)
-    )
+    if discs is None:
+        discs = scene_discs(scene)
     if isinstance(geometry, KerrBL):
         # Mino-time march; h0 = step_size gives a far-field spatial step of
         # ~h0·r_ref² ≈ 1 at the default 0.01 (the lax path's H_MAX).
@@ -61,9 +90,9 @@ def trace_rays_fast(scene, positions, momenta, interpret: bool = False):
             solver.e,
             solver.l_z,
             solver.q,
-            h0=float(cfg.step_size),
+            h0=cfg.step_size,
             max_steps=cfg.max_steps,
-            max_radius=float(cfg.max_radius),
+            max_radius=cfg.max_radius,
             discs=discs,
             interpret=interpret,
         )
@@ -73,9 +102,9 @@ def trace_rays_fast(scene, positions, momenta, interpret: bool = False):
             geometry.a,
             geometry.horizon_epsilon,
             y0,
-            h0=float(cfg.step_size) * 5.0,
+            h0=cfg.step_size * 5.0,
             max_steps=cfg.max_steps,
-            max_radius=float(cfg.max_radius),
+            max_radius=cfg.max_radius,
             discs=discs,
             interpret=interpret,
         )

@@ -195,13 +195,28 @@ def integrate_rays(
             y[..., :4], c["cart_prev"], c["p_prev"], xn, cart_new, p_new
         )
         store = hit & adv
-        can_store = store & (c["ev_count"] < k_ev)
-        slot = jnp.arange(k_ev, dtype=jnp.int32)[None, :] == c["ev_count"][:, None]
-        slot = slot & can_store[:, None]
-        ev_kind = jnp.where(slot, kind[:, None], c["ev_kind"])
-        ev_data = jnp.where(slot[..., None], data[:, None, :], c["ev_data"])
-        ev_count = c["ev_count"] + can_store.astype(jnp.int32)
-        ev_overflow = c["ev_overflow"] | (store & (c["ev_count"] >= k_ev))
+
+        def apply_events(ops):
+            ev_kind0, ev_data0, ev_count0, ev_overflow0 = ops
+            can_store = store & (ev_count0 < k_ev)
+            slot = jnp.arange(k_ev, dtype=jnp.int32)[None, :] == ev_count0[:, None]
+            slot = slot & can_store[:, None]
+            return (
+                jnp.where(slot, kind[:, None], ev_kind0),
+                jnp.where(slot[..., None], data[:, None, :], ev_data0),
+                ev_count0 + can_store.astype(jnp.int32),
+                ev_overflow0 | (store & (ev_count0 >= k_ev)),
+            )
+
+        # The event buffer is the fat part of the carry (~K·D floats/ray);
+        # most iterations store nothing, so skip the whole rewrite unless
+        # some lane hit this step (lax.cond keeps the false branch a no-op).
+        ev_kind, ev_data, ev_count, ev_overflow = lax.cond(
+            jnp.any(store),
+            apply_events,
+            lambda ops: ops,
+            (c["ev_kind"], c["ev_data"], c["ev_count"], c["ev_overflow"]),
+        )
 
         cart_prev = jnp.where(adv[:, None], cart_new, c["cart_prev"])
         p_prev = jnp.where(adv[:, None], p_new, c["p_prev"])

@@ -126,6 +126,32 @@ def _trace_chunk(scene, row_f, col_f):
     return s.color, s.ray_class
 
 
+_fast_tracers: dict = {}
+
+
+def _trace_chunk_fast(scene, row_f, col_f):
+    """Pallas fast path with a per-scene-identity tracer cache (the disc
+    bounds are baked static; everything else stays traced)."""
+    from gr_raytracer_tpu.rendering import fast_path
+
+    key = id(scene)
+    fn = _fast_tracers.get(key)
+    if fn is None:
+        if len(_fast_tracers) > 8:
+            _fast_tracers.clear()
+        fn = _fast_tracers[key] = fast_path.make_fast_tracer(scene)
+    return fn(scene, row_f, col_f)
+
+
+def _use_fast_path(scene) -> bool:
+    """Pallas kernel path: supported scene shape AND a real TPU backend
+    (pallas_call needs interpret mode elsewhere — the lax path is fine on
+    CPU)."""
+    from gr_raytracer_tpu.rendering import fast_path
+
+    return jax.default_backend() == "tpu" and fast_path.supports_scene(scene)
+
+
 @jax.jit
 def _trace_chunk_geo(scene, row_f, col_f):
     x, p = cam.pixel_rays(scene.camera, row_f, col_f)
@@ -203,6 +229,7 @@ def trace_pixels_chunked(scene, row_f, col_f, chunk_size: int, progress: bool = 
     colors = np.zeros((n, 4), dtype)
     classes = np.zeros((n,), np.int32)
     split = _has_volumetric(scene)
+    fast = not split and _use_fast_path(scene)
     t_start = time.time()
     for start in range(0, n, chunk_size):
         end = min(start + chunk_size, n)
@@ -213,7 +240,8 @@ def trace_pixels_chunked(scene, row_f, col_f, chunk_size: int, progress: bool = 
         if split:
             c, k = _trace_chunk_split(scene, rf, cf)
         else:
-            c, k = _trace_chunk(scene, jnp.asarray(rf), jnp.asarray(cf))
+            fn = _trace_chunk_fast if fast else _trace_chunk
+            c, k = fn(scene, jnp.asarray(rf), jnp.asarray(cf))
             c, k = jax.device_get((c, k))
         colors[start:end] = c[: end - start]
         classes[start:end] = k[: end - start]
