@@ -46,6 +46,16 @@ def _eta():
     return (-1.0, 1.0, 1.0, 1.0)
 
 
+def _atan2(y, x):
+    """atan2 built from atan (the atan2 primitive has no Pallas TPU
+    lowering). x == 0 rides on atan(±inf) = ±π/2; the x < 0 half-plane is
+    shifted by ±π with the y >= 0 tie going to +π, matching libm."""
+    r = jnp.arctan(y / x)
+    pi = jnp.asarray(jnp.pi, y.dtype)
+    shift = jnp.where(y >= 0.0, pi, -pi)
+    return jnp.where(x < 0.0, r + shift, r)
+
+
 def _ks_scalars(radius, a, x, y, z):
     """f and k (covariant) for Kerr-Schild, componentwise over [T] lanes."""
     rho_sq = x * x + y * y + z * z
@@ -132,7 +142,7 @@ def _store_disc_events(
     [4, T] interpolated contravariant momentum; seg: [3, T] segment dir."""
     t = px.shape[-1]
     rr = jnp.sqrt(px * px + py * py)
-    phi = jnp.arctan2(py, px)
+    phi = _atan2(py, px)
     for disc in discs:
         hit = crossing & (rr >= disc.inner) & (rr <= disc.outer)
         r_norm = (rr - disc.inner) / (disc.outer - disc.inner)
