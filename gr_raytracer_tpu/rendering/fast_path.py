@@ -120,6 +120,8 @@ def trace_rays_fast(scene, positions, momenta, interpret: bool = False, discs=No
         ev_overflow=ev_count >= gp.MAX_EVENTS,
         kk_drift=jnp.zeros((y_f.shape[0],), y_f.dtype),
         const_drift=jnp.zeros((y_f.shape[0], 0), y_f.dtype),
+        h=jnp.zeros((y_f.shape[0],), y_f.dtype),
+        retries=jnp.zeros((y_f.shape[0],), jnp.int32),
     )
     colors = scn._shade_events(scene, freq, res)
     celestial = scn._celestial_color(scene, freq, solver, res)

@@ -71,6 +71,9 @@ class IntegrationResult(NamedTuple):
     ev_overflow: jnp.ndarray  # [N] bool — events dropped (buffer full)
     kk_drift: jnp.ndarray  # [N] max |k·k| along ray (0 if untracked)
     const_drift: jnp.ndarray  # [N, C] max relative drift of conserved scalars
+    # Continuation state for phased/requeued integration (raytracer.py):
+    h: jnp.ndarray  # [N] current step size
+    retries: jnp.ndarray  # [N] consecutive controller rejections
 
 
 def integrate_rays(
@@ -80,6 +83,9 @@ def integrate_rays(
     y0: jnp.ndarray,
     segment_fn: Callable,
     event_width: int,
+    resume: "IntegrationResult | None" = None,
+    attempts_budget: "int | None" = None,
+    finalize: bool = True,
 ):
     """Integrate a batch of rays, streaming segment events.
 
@@ -88,6 +94,12 @@ def integrate_rays(
     is called once per accepted step with native-chart positions, their
     Cartesian embeddings, and contravariant momenta at both segment ends. It
     must be NaN-tolerant (hit=False on NaN input).
+
+    Phased mode (driver requeue compaction): pass `attempts_budget` to bound
+    this call's iterations, `finalize=False` to leave unfinished lanes
+    RUNNING instead of coercing them to BUDGET, and a previous call's
+    `resume` result to continue from its state (y0 is ignored then except
+    for its dtype/shape).
     """
     chart = solver.chart
     spin = geometry.spin
@@ -114,25 +126,48 @@ def integrate_rays(
 
     max_radius_sq = cfg.max_radius * cfg.max_radius
 
-    carry0 = dict(
-        y=y0,
-        t=jnp.zeros((n,), dtype),
-        h=jnp.clip(jnp.full((n,), cfg.step_size, dtype), rkf45.H_MIN, rkf45.H_MAX),
-        steps=jnp.zeros((n,), jnp.int32),
-        retries=jnp.zeros((n,), jnp.int32),
-        stop=jnp.zeros((n,), jnp.int32),
-        cart_prev=cart0,
-        p_prev=p0_contra,
-        ev_kind=jnp.full((n, k_ev), -1, jnp.int32),
-        ev_data=jnp.zeros((n, k_ev, event_width), dtype),
-        ev_count=jnp.zeros((n,), jnp.int32),
-        ev_overflow=jnp.zeros((n,), bool),
-        attempts=jnp.zeros((), jnp.int32),
-        kk_drift=jnp.zeros((n,), dtype),
-        const_drift=jnp.zeros((n, n_consts), dtype),
-    )
+    if resume is None:
+        carry0 = dict(
+            y=y0,
+            t=jnp.zeros((n,), dtype),
+            h=jnp.clip(jnp.full((n,), cfg.step_size, dtype), rkf45.H_MIN, rkf45.H_MAX),
+            steps=jnp.zeros((n,), jnp.int32),
+            retries=jnp.zeros((n,), jnp.int32),
+            stop=jnp.zeros((n,), jnp.int32),
+            cart_prev=cart0,
+            p_prev=p0_contra,
+            ev_kind=jnp.full((n, k_ev), -1, jnp.int32),
+            ev_data=jnp.zeros((n, k_ev, event_width), dtype),
+            ev_count=jnp.zeros((n,), jnp.int32),
+            ev_overflow=jnp.zeros((n,), bool),
+            attempts=jnp.zeros((), jnp.int32),
+            kk_drift=jnp.zeros((n,), dtype),
+            const_drift=jnp.zeros((n, n_consts), dtype),
+        )
+    else:
+        # cart_prev/p_prev are functions of the resumed state; recompute.
+        x_r = resume.y[..., :4]
+        carry0 = dict(
+            y=resume.y,
+            t=resume.affine,
+            h=resume.h,
+            steps=resume.steps,
+            retries=resume.retries,
+            stop=resume.stop_code,
+            cart_prev=charts.to_cartesian(x_r, chart, spin),
+            p_prev=solver.momentum(resume.y),
+            ev_kind=resume.ev_kind,
+            ev_data=resume.ev_data,
+            ev_count=resume.ev_count,
+            ev_overflow=resume.ev_overflow,
+            attempts=jnp.zeros((), jnp.int32),
+            kk_drift=resume.kk_drift,
+            const_drift=resume.const_drift,
+        )
 
-    max_attempts = cfg.max_steps + cfg.extra_attempts
+    max_attempts = (
+        attempts_budget if attempts_budget is not None else cfg.max_steps + cfg.extra_attempts
+    )
 
     def cond(c):
         return jnp.any(c["stop"] == RUNNING) & (c["attempts"] < max_attempts)
@@ -267,8 +302,11 @@ def integrate_rays(
         )[0]
     else:
         final = lax.while_loop(cond, body, carry0)
-    # Lanes still RUNNING at the attempt cap: classify as budget-exhausted.
-    stop = jnp.where(final["stop"] == RUNNING, BUDGET, final["stop"])
+    if finalize:
+        # Lanes still RUNNING at the attempt cap: classify as budget-exhausted.
+        stop = jnp.where(final["stop"] == RUNNING, BUDGET, final["stop"])
+    else:
+        stop = final["stop"]
     return IntegrationResult(
         y=final["y"],
         affine=final["t"],
@@ -280,6 +318,8 @@ def integrate_rays(
         ev_overflow=final["ev_overflow"],
         kk_drift=final["kk_drift"],
         const_drift=final["const_drift"],
+        h=final["h"],
+        retries=final["retries"],
     )
 
 

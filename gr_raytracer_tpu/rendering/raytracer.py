@@ -126,6 +126,122 @@ def _trace_chunk(scene, row_f, col_f):
     return s.color, s.ray_class
 
 
+# ---------------------------------------------------------------------------
+# Requeue compaction (active-ray re-batching, SURVEY.md §5 / hard part 1)
+# ---------------------------------------------------------------------------
+#
+# A chunk's while_loop runs until its SLOWEST lane stops; trapped/near-ring
+# rays burn the full step budget while 99% of lanes idle. Phased integration
+# with host-side compaction fixes this: integrate every chunk for a bounded
+# number of attempts, gather the still-running lanes into small dense
+# buckets, and continue only those (phase budgets double so the number of
+# phases stays logarithmic in max_steps).
+
+from functools import partial as _partial
+
+from gr_raytracer_tpu.rendering.redshift import ray_frequency_data as _ray_freq
+
+PHASE_ATTEMPTS = 2048
+REQUEUE_BUCKET_MIN = 1024
+
+
+@_partial(jax.jit, static_argnames=("attempts",))
+def _phase_start(scene, row_f, col_f, attempts):
+    x, p = cam.pixel_rays(scene.camera, row_f, col_f)
+    geometry = scene.geometry
+    solver = geometry.make_solver(x, p)
+    y0 = solver.initial_state(x, p)
+    freq = _ray_freq(geometry, x, p, scene.camera.velocity)
+    res = scn.integ.integrate_rays(
+        geometry,
+        solver,
+        scene.integration,
+        y0,
+        scn._segment_fn(scene, freq),
+        scn.EVENT_WIDTH,
+        attempts_budget=attempts,
+        finalize=False,
+    )
+    return solver, freq, res
+
+
+@_partial(jax.jit, static_argnames=("attempts",))
+def _phase_continue(scene, solver, res, attempts):
+    return scn.integ.integrate_rays(
+        scene.geometry,
+        solver,
+        scene.integration,
+        res.y,
+        scn._segment_fn(scene, None),
+        scn.EVENT_WIDTH,
+        resume=res,
+        attempts_budget=attempts,
+        finalize=False,
+    )
+
+
+@jax.jit
+def _phase_finish(scene, solver, freq, res):
+    stop = jnp.where(res.stop_code == scn.integ.RUNNING, scn.integ.BUDGET, res.stop_code)
+    res = res._replace(stop_code=stop)
+    colors = scn._shade_events(scene, freq, res)
+    celestial = scn._celestial_color(scene, freq, solver, res)
+    color, klass = scn.fold_samples(scene, res.ev_kind, colors, stop, celestial)
+    return color, klass
+
+
+def _gather_ray_tree(tree, idx, n):
+    """Gather per-ray leaves (leading dim n) of a pytree; keep scalars."""
+    return jax.tree.map(
+        lambda a: a[idx] if (hasattr(a, "ndim") and a.ndim >= 1 and a.shape[0] == n) else a,
+        tree,
+    )
+
+
+def _bucket_size(m: int) -> int:
+    size = REQUEUE_BUCKET_MIN
+    while size < m:
+        size *= 2
+    return size
+
+
+def _trace_chunk_requeued(scene, rf, cf):
+    """Chunk trace with phased integration + active-lane compaction."""
+    n = rf.shape[0]
+    cfg = scene.integration
+    max_attempts = cfg.max_steps + cfg.extra_attempts
+    phase = min(PHASE_ATTEMPTS, max_attempts)
+
+    solver, freq, res = _phase_start(scene, jnp.asarray(rf), jnp.asarray(cf), attempts=phase)
+    res_np = jax.tree.map(np.array, jax.device_get(res))  # writable copies
+    spent = phase
+
+    while spent < max_attempts:
+        active = np.nonzero(res_np.stop_code == scn.integ.RUNNING)[0]
+        if active.size == 0:
+            break
+        phase = min(phase * 2, max_attempts - spent)
+        bucket = _bucket_size(active.size)
+        idx = np.concatenate(
+            [active, np.full(bucket - active.size, active[0], active.dtype)]
+        )
+        sub_res = jax.tree.map(lambda a: jnp.asarray(a[idx]), res_np)
+        sub_solver = _gather_ray_tree(solver, jnp.asarray(idx), n)
+        sub_out = jax.device_get(
+            _phase_continue(scene, sub_solver, sub_res, attempts=phase)
+        )
+        # Duplicated padding lanes all evolve ray active[0] identically, so
+        # the scatter-back is well-defined.
+        for field, value in zip(res_np._fields, sub_out):
+            getattr(res_np, field)[idx] = np.asarray(value)
+        spent += phase
+
+    color, klass = _phase_finish(
+        scene, solver, freq, jax.tree.map(jnp.asarray, res_np)
+    )
+    return jax.device_get((color, klass))
+
+
 _fast_tracers: dict = {}
 
 
@@ -246,10 +362,10 @@ def trace_pixels_chunked(scene, row_f, col_f, chunk_size: int, progress: bool = 
         cf[: end - start] = col_f[start:end]
         if split:
             c, k = _trace_chunk_split(scene, rf, cf)
+        elif fast:
+            c, k = jax.device_get(_trace_chunk_fast(scene, jnp.asarray(rf), jnp.asarray(cf)))
         else:
-            fn = _trace_chunk_fast if fast else _trace_chunk
-            c, k = fn(scene, jnp.asarray(rf), jnp.asarray(cf))
-            c, k = jax.device_get((c, k))
+            c, k = _trace_chunk_requeued(scene, rf, cf)
         colors[start:end] = c[: end - start]
         classes[start:end] = k[: end - start]
         if progress:

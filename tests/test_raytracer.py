@@ -184,3 +184,30 @@ def test_radiance_hdr_roundtrip(tmp_path):
     np.testing.assert_allclose(decoded[0, 0], rgb[0, 0], rtol=0.01)
     np.testing.assert_allclose(decoded[1, 0], rgb[1, 0], rtol=0.01)
     assert (decoded[0, 1] == 0).all() and (decoded[1, 1] == 0).all()
+
+
+def test_requeued_chunk_matches_direct_trace():
+    """Phased integration + compaction is step-identical to the one-shot
+    while_loop: same controller decisions, same events, same colors."""
+    import jax.numpy as jnp
+    from gr_raytracer_tpu import presets
+    from gr_raytracer_tpu.rendering import scene as scn2
+
+    params = presets.kerr_flagship_params(jnp.float64)
+    scene = presets.build_kerr_flagship(params, 8, 8, max_steps=6000, max_radius=25.0)
+    rf = np.arange(64, dtype=np.float64) // 8
+    cf = np.arange(64, dtype=np.float64) % 8
+
+    # Force several phases.
+    old = rt.PHASE_ATTEMPTS
+    rt.PHASE_ATTEMPTS = 256
+    try:
+        c_req, k_req = rt._trace_chunk_requeued(scene, rf, cf)
+    finally:
+        rt.PHASE_ATTEMPTS = old
+
+    x, p = cam.pixel_rays(scene.camera, jnp.asarray(rf), jnp.asarray(cf))
+    ref = scn2.trace_rays(scene, x, p)
+    np.testing.assert_array_equal(np.asarray(ref.ray_class), k_req)
+    # Identical steps/events; only fusion-order roundoff differs.
+    np.testing.assert_allclose(np.asarray(ref.color), c_req, rtol=1e-10, atol=1e-10)
