@@ -205,40 +205,48 @@ def _bucket_size(m: int) -> int:
     return size
 
 
+@jax.jit
+def _gather_res(res, idx):
+    return jax.tree.map(lambda a: a[idx], res)
+
+
+@jax.jit
+def _scatter_res(res, sub, idx):
+    # Duplicate (padding) indices all carry the same lane's values, so the
+    # last-writer-wins scatter is well-defined.
+    return jax.tree.map(lambda a, b: a.at[idx].set(b), res, sub)
+
+
 def _trace_chunk_requeued(scene, rf, cf):
-    """Chunk trace with phased integration + active-lane compaction."""
+    """Chunk trace with phased integration + active-lane compaction.
+
+    Everything heavy (state + event buffers) stays device-resident; the only
+    per-phase host transfer is the [N] stop-code vector — essential on
+    remote/tunneled runtimes where device_get bandwidth dwarfs compute."""
     n = rf.shape[0]
     cfg = scene.integration
     max_attempts = cfg.max_steps + cfg.extra_attempts
     phase = min(PHASE_ATTEMPTS, max_attempts)
 
     solver, freq, res = _phase_start(scene, jnp.asarray(rf), jnp.asarray(cf), attempts=phase)
-    res_np = jax.tree.map(np.array, jax.device_get(res))  # writable copies
     spent = phase
 
     while spent < max_attempts:
-        active = np.nonzero(res_np.stop_code == scn.integ.RUNNING)[0]
+        active = np.nonzero(np.asarray(res.stop_code) == scn.integ.RUNNING)[0]
         if active.size == 0:
             break
         phase = min(phase * 2, max_attempts - spent)
         bucket = _bucket_size(active.size)
-        idx = np.concatenate(
-            [active, np.full(bucket - active.size, active[0], active.dtype)]
+        idx = jnp.asarray(
+            np.concatenate([active, np.full(bucket - active.size, active[0], active.dtype)])
         )
-        sub_res = jax.tree.map(lambda a: jnp.asarray(a[idx]), res_np)
-        sub_solver = _gather_ray_tree(solver, jnp.asarray(idx), n)
-        sub_out = jax.device_get(
-            _phase_continue(scene, sub_solver, sub_res, attempts=phase)
-        )
-        # Duplicated padding lanes all evolve ray active[0] identically, so
-        # the scatter-back is well-defined.
-        for field, value in zip(res_np._fields, sub_out):
-            getattr(res_np, field)[idx] = np.asarray(value)
+        sub_res = _gather_res(res, idx)
+        sub_solver = _gather_ray_tree(solver, idx, n)
+        sub_out = _phase_continue(scene, sub_solver, sub_res, attempts=phase)
+        res = _scatter_res(res, sub_out, idx)
         spent += phase
 
-    color, klass = _phase_finish(
-        scene, solver, freq, jax.tree.map(jnp.asarray, res_np)
-    )
+    color, klass = _phase_finish(scene, solver, freq, res)
     return jax.device_get((color, klass))
 
 
@@ -353,6 +361,11 @@ def trace_pixels_chunked(scene, row_f, col_f, chunk_size: int, progress: bool = 
     classes = np.zeros((n,), np.int32)
     split = _has_volumetric(scene)
     fast = not split and _use_fast_path(scene)
+    # Requeue compaction pays when the budget dwarfs a phase (its savings
+    # come from not holding the whole chunk for the slow tail); below that
+    # the per-phase host syncs cost more than they save.
+    cfg_i = scene.integration
+    requeue = (cfg_i.max_steps + cfg_i.extra_attempts) > 2 * PHASE_ATTEMPTS
     t_start = time.time()
     for start in range(0, n, chunk_size):
         end = min(start + chunk_size, n)
@@ -364,8 +377,10 @@ def trace_pixels_chunked(scene, row_f, col_f, chunk_size: int, progress: bool = 
             c, k = _trace_chunk_split(scene, rf, cf)
         elif fast:
             c, k = jax.device_get(_trace_chunk_fast(scene, jnp.asarray(rf), jnp.asarray(cf)))
-        else:
+        elif requeue:
             c, k = _trace_chunk_requeued(scene, rf, cf)
+        else:
+            c, k = jax.device_get(_trace_chunk(scene, jnp.asarray(rf), jnp.asarray(cf)))
         colors[start:end] = c[: end - start]
         classes[start:end] = k[: end - start]
         if progress:
