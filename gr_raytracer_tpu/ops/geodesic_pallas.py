@@ -46,11 +46,33 @@ def _eta():
     return (-1.0, 1.0, 1.0, 1.0)
 
 
+def _atan(x):
+    """arctan from primitives (neither atan nor atan2 lowers on Pallas TPU).
+
+    Range-reduce: |x| > 1 via atan(x) = π/2 − atan(1/x), then two half-angle
+    reductions z ← z/(1+√(1+z²)) bring the argument under 0.199 where a
+    degree-11 odd Taylor term is exact to ~6e-11 — far beyond f32 needs."""
+    ax = jnp.abs(x)
+    inv = ax > 1.0
+    z = jnp.where(inv, 1.0 / jnp.maximum(ax, 1e-30), ax)
+    z = z / (1.0 + jnp.sqrt(1.0 + z * z))
+    z = z / (1.0 + jnp.sqrt(1.0 + z * z))
+    z2 = z * z
+    p = z * (
+        1.0
+        + z2
+        * (-1.0 / 3.0 + z2 * (0.2 + z2 * (-1.0 / 7.0 + z2 * (1.0 / 9.0 - z2 / 11.0))))
+    )
+    r = 4.0 * p
+    half_pi = jnp.asarray(jnp.pi / 2, x.dtype)
+    r = jnp.where(inv, half_pi - r, r)
+    return jnp.where(x < 0.0, -r, r)
+
+
 def _atan2(y, x):
-    """atan2 built from atan (the atan2 primitive has no Pallas TPU
-    lowering). x == 0 rides on atan(±inf) = ±π/2; the x < 0 half-plane is
-    shifted by ±π with the y >= 0 tie going to +π, matching libm."""
-    r = jnp.arctan(y / x)
+    """atan2 built from _atan. x == 0 rides on atan(±inf) = ±π/2; the x < 0
+    half-plane is shifted by ±π with the y >= 0 tie going to +π (libm)."""
+    r = _atan(y / x)
     pi = jnp.asarray(jnp.pi, y.dtype)
     shift = jnp.where(y >= 0.0, pi, -pi)
     return jnp.where(x < 0.0, r + shift, r)
@@ -139,7 +161,8 @@ def _store_disc_events(
 ):
     """Fold equatorial-plane crossings into the per-lane event buffer.
     px/py: crossing point in the equatorial plane (Cartesian); p_interp:
-    [4, T] interpolated contravariant momentum; seg: [3, T] segment dir."""
+    [4, T] interpolated contravariant momentum; seg: [3, T] segment dir.
+    ev_kind [K, T], ev_data [K·12, T], ev_count [T]."""
     t = px.shape[-1]
     rr = jnp.sqrt(px * px + py * py)
     phi = _atan2(py, px)
@@ -160,27 +183,33 @@ def _store_disc_events(
             ],
             axis=0,
         )  # [12, T]
-        store = hit & (ev_count[0] < MAX_EVENTS)
+        store = hit & (ev_count < MAX_EVENTS)
         slot = jax.lax.broadcasted_iota(jnp.int32, (MAX_EVENTS, t), 0)
-        sel = (slot == ev_count[0][None, :]) & store[None, :]
+        sel = (slot == ev_count[None, :]) & store[None, :]
         ev_kind = jnp.where(sel, disc.kind, ev_kind)
         comp = jax.lax.broadcasted_iota(jnp.int32, (MAX_EVENTS * EVENT_WIDTH, t), 0)
-        sel_data = (comp // EVENT_WIDTH == ev_count[0][None, :]) & store[None, :]
+        sel_data = (comp // EVENT_WIDTH == ev_count[None, :]) & store[None, :]
         tiled = jnp.tile(payload, (MAX_EVENTS, 1))
         ev_data = jnp.where(sel_data, tiled, ev_data)
-        ev_count = ev_count + store[None, :].astype(jnp.int32)
+        ev_count = ev_count + store.astype(jnp.int32)
     return ev_kind, ev_data, ev_count
+
+
+# Merged int32 per-lane metadata rows (Mosaic rejects [1, T] vectors mixed
+# with [8, T] in a while carry — "invalid relayout"; one tile-aligned [8, T]
+# i32 array avoids the replication mismatch entirely).
+META_STOP = 0
+META_STEPS = 1
+META_COUNT = 2
+META_KIND0 = 3  # rows 3..3+MAX_EVENTS-1
 
 
 def _march_kernel(
     y_ref,
     param_ref,  # SMEM [8,1]: radius, a, horizon_eps, h0, max_radius, h_min_frac, r_ref, _
     y_out_ref,
-    stop_ref,
-    steps_ref,
-    ev_kind_ref,
+    meta_ref,
     ev_data_ref,
-    ev_count_ref,
     *,
     max_steps: int,
     discs: tuple,
@@ -199,23 +228,34 @@ def _march_kernel(
     r_plus = m + jnp.sqrt(jnp.maximum(m * m - a * a, 0.0))
     max_radius_sq = max_radius * max_radius
 
+    meta0 = jnp.concatenate(
+        [
+            jnp.zeros((3, t), jnp.int32),  # stop, steps, count
+            jnp.full((MAX_EVENTS, t), -1, jnp.int32),  # ev kinds
+            jnp.zeros((8 - 3 - MAX_EVENTS, t), jnp.int32),  # spare
+        ],
+        axis=0,
+    )
     carry0 = (
         y0,
-        jnp.zeros((1, t), jnp.int32),  # stop code
-        jnp.zeros((1, t), jnp.int32),  # accepted steps
-        jnp.full((MAX_EVENTS, t), -1, jnp.int32),  # ev kinds
+        meta0,
         jnp.zeros((MAX_EVENTS * EVENT_WIDTH, t), y0.dtype),  # ev payloads
-        jnp.zeros((1, t), jnp.int32),  # ev counts
         jnp.zeros((), jnp.int32),  # iteration
     )
 
     def cond(c):
-        _, stop, _, _, _, _, it = c
-        return jnp.logical_and(jnp.any(stop[0] == integ.RUNNING), it < max_steps)
+        _, meta, _, it = c
+        return jnp.logical_and(
+            jnp.any(meta[META_STOP] == integ.RUNNING), it < max_steps
+        )
 
     def body(c):
-        y, stop, steps, ev_kind, ev_data, ev_count, it = c
-        active = stop[0] == integ.RUNNING
+        y, meta, ev_data, it = c
+        stop = meta[META_STOP]
+        steps = meta[META_STEPS]
+        ev_count = meta[META_COUNT]
+        ev_kind = meta[META_KIND0 : META_KIND0 + MAX_EVENTS]
+        active = stop == integ.RUNNING
 
         _, _, _, _, r_here = _ks_scalars(radius, a, y[1], y[2], y[3])
         # Distance-above-horizon scaling: photon-ring orbits (r ~ r₊) need a
@@ -247,9 +287,9 @@ def _march_kernel(
         horizon = r_new <= r_plus + horizon_eps
         rho_sq = y_new[1] ** 2 + y_new[2] ** 2 + y_new[3] ** 2
         escaped = rho_sq > max_radius_sq
-        steps_new = steps + active[None, :].astype(jnp.int32)
-        trapped = (steps_new[0] >= max_steps - 1) & (r_new < 5.0 * radius)
-        budget = steps_new[0] >= max_steps - 1
+        steps_new = steps + active.astype(jnp.int32)
+        trapped = (steps_new >= max_steps - 1) & (r_new < 5.0 * radius)
+        budget = steps_new >= max_steps - 1
 
         code = jnp.full((t,), integ.RUNNING, jnp.int32)
         code = jnp.where(~mom_finite, integ.NAN, code)
@@ -258,7 +298,7 @@ def _march_kernel(
         code = jnp.where(horizon, integ.HORIZON, code)
         code = jnp.where(~pos_finite, integ.NAN, code)
         code = jnp.where((code == integ.RUNNING) & budget, integ.BUDGET, code)
-        stop_new = jnp.where(active, code, stop[0])[None, :]
+        stop_new = jnp.where(active, code, stop)
 
         # --- equatorial-disc crossing events -----------------------------
         if discs:
@@ -275,18 +315,26 @@ def _march_kernel(
                 discs, crossing, px, py, p_interp, seg, ev_kind, ev_data, ev_count
             )
 
-        return (y_new, stop_new, steps_new, ev_kind, ev_data, ev_count, it + 1)
+        meta_new = jnp.concatenate(
+            [
+                stop_new[None],
+                steps_new[None],
+                ev_count[None],
+                ev_kind,
+                meta[META_KIND0 + MAX_EVENTS :],
+            ],
+            axis=0,
+        )
+        return (y_new, meta_new, ev_data, it + 1)
 
-    y_f, stop_f, steps_f, ev_kind_f, ev_data_f, ev_count_f, _ = jax.lax.while_loop(
-        cond, body, carry0
+    y_f, meta_f, ev_data_f, _ = jax.lax.while_loop(cond, body, carry0)
+    stop_f = jnp.where(
+        meta_f[META_STOP] == integ.RUNNING, integ.BUDGET, meta_f[META_STOP]
     )
-    stop_f = jnp.where(stop_f == integ.RUNNING, integ.BUDGET, stop_f)
+    meta_f = jnp.concatenate([stop_f[None], meta_f[1:]], axis=0)
     y_out_ref[:, :] = y_f
-    stop_ref[:, :] = stop_f
-    steps_ref[:, :] = steps_f
-    ev_kind_ref[:, :] = ev_kind_f
+    meta_ref[:, :] = meta_f
     ev_data_ref[:, :] = ev_data_f
-    ev_count_ref[:, :] = ev_count_f
 
 
 def kerr_rk4_march(
@@ -329,7 +377,7 @@ def kerr_rk4_march(
     )
 
     kernel = functools.partial(_march_kernel, max_steps=max_steps, discs=tuple(discs))
-    y_f, stop, steps, ev_kind, ev_data, ev_count = pl.pallas_call(
+    y_f, meta, ev_data = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -338,30 +386,24 @@ def kerr_rk4_march(
         ],
         out_specs=[
             lane_spec(8),
-            lane_spec(1),
-            lane_spec(1),
-            lane_spec(MAX_EVENTS),
+            lane_spec(8),
             lane_spec(MAX_EVENTS * EVENT_WIDTH),
-            lane_spec(1),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((8, n), dtype),
-            jax.ShapeDtypeStruct((1, n), jnp.int32),
-            jax.ShapeDtypeStruct((1, n), jnp.int32),
-            jax.ShapeDtypeStruct((MAX_EVENTS, n), jnp.int32),
+            jax.ShapeDtypeStruct((8, n), jnp.int32),
             jax.ShapeDtypeStruct((MAX_EVENTS * EVENT_WIDTH, n), dtype),
-            jax.ShapeDtypeStruct((1, n), jnp.int32),
         ],
         interpret=interpret,
     )(y_t, params)
 
     return (
         y_f.T,  # [N, 8]
-        stop[0],
-        steps[0],
-        ev_kind.T,  # [N, K]
+        meta[META_STOP],
+        meta[META_STEPS],
+        meta[META_KIND0 : META_KIND0 + MAX_EVENTS].T,  # [N, K]
         ev_data.T.reshape(n, MAX_EVENTS, EVENT_WIDTH),
-        ev_count[0],
+        meta[META_COUNT],
     )
 
 
@@ -406,11 +448,8 @@ def _bl_march_kernel(
     consts_ref,  # VMEM [3 (padded to 8), TILE]: E, L_z, Q per lane
     param_ref,  # SMEM [8,1]: radius, a, horizon_eps, h0, max_radius, h_min_frac, r_ref, _
     y_out_ref,
-    stop_ref,
-    steps_ref,
-    ev_kind_ref,
+    meta_ref,
     ev_data_ref,
-    ev_count_ref,
     *,
     max_steps: int,
     discs: tuple,
@@ -438,23 +477,34 @@ def _bl_march_kernel(
     # orbits.
     inv_e = 1.0 / jnp.maximum(jnp.abs(e), 1e-12)
 
+    meta0 = jnp.concatenate(
+        [
+            jnp.zeros((3, t), jnp.int32),
+            jnp.full((MAX_EVENTS, t), -1, jnp.int32),
+            jnp.zeros((8 - 3 - MAX_EVENTS, t), jnp.int32),
+        ],
+        axis=0,
+    )
     carry0 = (
         y0,
-        jnp.zeros((1, t), jnp.int32),
-        jnp.zeros((1, t), jnp.int32),
-        jnp.full((MAX_EVENTS, t), -1, jnp.int32),
+        meta0,
         jnp.zeros((MAX_EVENTS * EVENT_WIDTH, t), y0.dtype),
-        jnp.zeros((1, t), jnp.int32),
         jnp.zeros((), jnp.int32),
     )
 
     def cond(c):
-        _, stop, _, _, _, _, it = c
-        return jnp.logical_and(jnp.any(stop[0] == integ.RUNNING), it < max_steps)
+        _, meta, _, it = c
+        return jnp.logical_and(
+            jnp.any(meta[META_STOP] == integ.RUNNING), it < max_steps
+        )
 
     def body(c):
-        y, stop, steps, ev_kind, ev_data, ev_count, it = c
-        active = stop[0] == integ.RUNNING
+        y, meta, ev_data, it = c
+        stop = meta[META_STOP]
+        steps = meta[META_STEPS]
+        ev_count = meta[META_COUNT]
+        ev_kind = meta[META_KIND0 : META_KIND0 + MAX_EVENTS]
+        active = stop == integ.RUNNING
 
         r_here = y[1]
         h = (
@@ -481,9 +531,9 @@ def _bl_march_kernel(
         r_new = y_new[1]
         horizon = r_new <= r_plus + horizon_eps
         escaped = r_new * r_new > max_radius_sq
-        steps_new = steps + active[None, :].astype(jnp.int32)
-        trapped = (steps_new[0] >= max_steps - 1) & (r_new < 5.0 * radius)
-        budget = steps_new[0] >= max_steps - 1
+        steps_new = steps + active.astype(jnp.int32)
+        trapped = (steps_new >= max_steps - 1) & (r_new < 5.0 * radius)
+        budget = steps_new >= max_steps - 1
 
         code = jnp.full((t,), integ.RUNNING, jnp.int32)
         code = jnp.where(~mom_finite, integ.NAN, code)
@@ -492,7 +542,7 @@ def _bl_march_kernel(
         code = jnp.where(horizon, integ.HORIZON, code)
         code = jnp.where(~pos_finite, integ.NAN, code)
         code = jnp.where((code == integ.RUNNING) & budget, integ.BUDGET, code)
-        stop_new = jnp.where(active, code, stop[0])[None, :]
+        stop_new = jnp.where(active, code, stop)
 
         if discs:
             # Equatorial crossing in BL: θ through π/2 (z = r cosθ).
@@ -526,18 +576,26 @@ def _bl_march_kernel(
                 discs, crossing, px, py, p_interp, seg, ev_kind, ev_data, ev_count
             )
 
-        return (y_new, stop_new, steps_new, ev_kind, ev_data, ev_count, it + 1)
+        meta_new = jnp.concatenate(
+            [
+                stop_new[None],
+                steps_new[None],
+                ev_count[None],
+                ev_kind,
+                meta[META_KIND0 + MAX_EVENTS :],
+            ],
+            axis=0,
+        )
+        return (y_new, meta_new, ev_data, it + 1)
 
-    y_f, stop_f, steps_f, ev_kind_f, ev_data_f, ev_count_f, _ = jax.lax.while_loop(
-        cond, body, carry0
+    y_f, meta_f, ev_data_f, _ = jax.lax.while_loop(cond, body, carry0)
+    stop_f = jnp.where(
+        meta_f[META_STOP] == integ.RUNNING, integ.BUDGET, meta_f[META_STOP]
     )
-    stop_f = jnp.where(stop_f == integ.RUNNING, integ.BUDGET, stop_f)
+    meta_f = jnp.concatenate([stop_f[None], meta_f[1:]], axis=0)
     y_out_ref[:, :] = y_f
-    stop_ref[:, :] = stop_f
-    steps_ref[:, :] = steps_f
-    ev_kind_ref[:, :] = ev_kind_f
+    meta_ref[:, :] = meta_f
     ev_data_ref[:, :] = ev_data_f
-    ev_count_ref[:, :] = ev_count_f
 
 
 def kerr_bl_rk4_march(
@@ -585,7 +643,7 @@ def kerr_bl_rk4_march(
         (rows, LANE_TILE), lambda i: (0, i), memory_space=pltpu.VMEM
     )
     kernel = functools.partial(_bl_march_kernel, max_steps=max_steps, discs=tuple(discs))
-    y_f, stop, steps, ev_kind, ev_data, ev_count = pl.pallas_call(
+    y_f, meta, ev_data = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -595,28 +653,22 @@ def kerr_bl_rk4_march(
         ],
         out_specs=[
             lane_spec(8),
-            lane_spec(1),
-            lane_spec(1),
-            lane_spec(MAX_EVENTS),
+            lane_spec(8),
             lane_spec(MAX_EVENTS * EVENT_WIDTH),
-            lane_spec(1),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((8, n), dtype),
-            jax.ShapeDtypeStruct((1, n), jnp.int32),
-            jax.ShapeDtypeStruct((1, n), jnp.int32),
-            jax.ShapeDtypeStruct((MAX_EVENTS, n), jnp.int32),
+            jax.ShapeDtypeStruct((8, n), jnp.int32),
             jax.ShapeDtypeStruct((MAX_EVENTS * EVENT_WIDTH, n), dtype),
-            jax.ShapeDtypeStruct((1, n), jnp.int32),
         ],
         interpret=interpret,
     )(y_t, consts, params)
 
     return (
         y_f.T,
-        stop[0],
-        steps[0],
-        ev_kind.T,
+        meta[META_STOP],
+        meta[META_STEPS],
+        meta[META_KIND0 : META_KIND0 + MAX_EVENTS].T,
         ev_data.T.reshape(n, MAX_EVENTS, EVENT_WIDTH),
-        ev_count[0],
+        meta[META_COUNT],
     )

