@@ -1,13 +1,14 @@
-"""Seedable 3-D Perlin gradient noise + fBm, batched jnp.
+"""Seedable 3-D Perlin gradient noise + fBm, batched jnp, gather-free.
 
-Improved-Perlin (2002) construction: a seeded 256-entry permutation table
-(doubled) hashes lattice corners; gradients come from the hash low bits;
-quintic fade; trilinear blend. Matches the `noise` crate's Perlin semantics
-(value range ≈ [-1, 1], zero at lattice points) closely enough for visual
+Classic Perlin uses a 256-entry permutation table; on TPU every lattice-hash
+lookup is a dynamic gather, and an fBm octave stack issues ~70 of them per
+sample — they serialize on the VPU and dominate the volumetric raymarch.
+Instead the lattice hash is computational (uint32 multiply-xor-shift mixing,
+Wang-hash finish): pure ALU, fully vectorized, no tables. Everything else
+matches Improved Perlin (2002): gradients from the hash low bits, quintic
+fade, trilinear blend; value range ≈ [-1, 1], exactly 0 at lattice points.
+Matches the reference's `noise` crate semantics closely enough for visual
 parity — SURVEY.md stage 9 explicitly does not require a bit-match.
-
-The permutation table is a pytree leaf (int32 [512]), so the noise field is
-reproducible from `perlin_seed` and cheap to gather on TPU.
 """
 
 from __future__ import annotations
@@ -17,15 +18,31 @@ import numpy as np
 
 
 def permutation_table(seed: int) -> np.ndarray:
-    """Seeded permutation of 0..255, doubled to 512 (int32)."""
-    rng = np.random.RandomState(np.uint32(seed))
-    p = rng.permutation(256)
-    return np.concatenate([p, p]).astype(np.int32)
+    """Seed -> uint32 scalar key (API kept for pytree compatibility; the
+    'table' is now a computational hash keyed by this value)."""
+    key = (int(seed) * 0x9E3779B9 + 1) & 0xFFFFFFFF  # explicit u32 wrap
+    return np.asarray(key, np.uint32)
+
+
+def _hash3(key, ix, iy, iz):
+    """uint32 lattice hash: per-axis multiplicative scramble + Wang finish."""
+    h = (
+        ix.astype(jnp.uint32) * jnp.uint32(0x8DA6B343)
+        ^ iy.astype(jnp.uint32) * jnp.uint32(0xD8163841)
+        ^ iz.astype(jnp.uint32) * jnp.uint32(0xCB1AB31F)
+        ^ key
+    )
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x7FEB352D)
+    h = h ^ (h >> 15)
+    h = h * jnp.uint32(0x846CA68B)
+    h = h ^ (h >> 16)
+    return h
 
 
 def _grad(h, x, y, z):
     """Gradient dot product from the hash low 4 bits (Improved Perlin)."""
-    h = h & 15
+    h = (h & jnp.uint32(15)).astype(jnp.int32)
     u = jnp.where(h < 8, x, y)
     v = jnp.where(h < 4, y, jnp.where((h == 12) | (h == 14), x, z))
     return jnp.where(h & 1 == 0, u, -u) + jnp.where(h & 2 == 0, v, -v)
@@ -35,32 +52,27 @@ def _fade(t):
     return t * t * t * (t * (t * 6.0 - 15.0) + 10.0)
 
 
-def perlin3(perm: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+def perlin3(key: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     """Classic 3-D Perlin noise. p: [..., 3] -> [...] in ≈[-1, 1]."""
+    key = jnp.asarray(key, jnp.uint32)
     pi = jnp.floor(p)
     pf = p - pi
-    xi = pi[..., 0].astype(jnp.int32) & 255
-    yi = pi[..., 1].astype(jnp.int32) & 255
-    zi = pi[..., 2].astype(jnp.int32) & 255
+    xi = pi[..., 0].astype(jnp.int32)
+    yi = pi[..., 1].astype(jnp.int32)
+    zi = pi[..., 2].astype(jnp.int32)
     xf, yf, zf = pf[..., 0], pf[..., 1], pf[..., 2]
 
     u, v, w = _fade(xf), _fade(yf), _fade(zf)
 
-    a = perm[xi] + yi
-    aa = perm[a] + zi
-    ab = perm[a + 1] + zi
-    b = perm[xi + 1] + yi
-    ba = perm[b] + zi
-    bb = perm[b + 1] + zi
-
-    x000 = _grad(perm[aa], xf, yf, zf)
-    x100 = _grad(perm[ba], xf - 1.0, yf, zf)
-    x010 = _grad(perm[ab], xf, yf - 1.0, zf)
-    x110 = _grad(perm[bb], xf - 1.0, yf - 1.0, zf)
-    x001 = _grad(perm[aa + 1], xf, yf, zf - 1.0)
-    x101 = _grad(perm[ba + 1], xf - 1.0, yf, zf - 1.0)
-    x011 = _grad(perm[ab + 1], xf, yf - 1.0, zf - 1.0)
-    x111 = _grad(perm[bb + 1], xf - 1.0, yf - 1.0, zf - 1.0)
+    one = jnp.int32(1)
+    x000 = _grad(_hash3(key, xi, yi, zi), xf, yf, zf)
+    x100 = _grad(_hash3(key, xi + one, yi, zi), xf - 1.0, yf, zf)
+    x010 = _grad(_hash3(key, xi, yi + one, zi), xf, yf - 1.0, zf)
+    x110 = _grad(_hash3(key, xi + one, yi + one, zi), xf - 1.0, yf - 1.0, zf)
+    x001 = _grad(_hash3(key, xi, yi, zi + one), xf, yf, zf - 1.0)
+    x101 = _grad(_hash3(key, xi + one, yi, zi + one), xf - 1.0, yf, zf - 1.0)
+    x011 = _grad(_hash3(key, xi, yi + one, zi + one), xf, yf - 1.0, zf - 1.0)
+    x111 = _grad(_hash3(key, xi + one, yi + one, zi + one), xf - 1.0, yf - 1.0, zf - 1.0)
 
     y00 = x000 + u * (x100 - x000)
     y10 = x010 + u * (x110 - x010)
@@ -71,7 +83,7 @@ def perlin3(perm: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     return z0 + w * (z1 - z0)
 
 
-def fbm(perm: jnp.ndarray, p: jnp.ndarray, num_octaves: int, h: float = 0.5) -> jnp.ndarray:
+def fbm(key: jnp.ndarray, p: jnp.ndarray, num_octaves: int, h: float = 0.5) -> jnp.ndarray:
     """Fractal Brownian motion matching volumetric_disc.rs:330-342:
     gain g = 2^{-h}, base frequency 4, amplitude 1."""
     g = 2.0 ** (-h)
@@ -79,7 +91,7 @@ def fbm(perm: jnp.ndarray, p: jnp.ndarray, num_octaves: int, h: float = 0.5) -> 
     amplitude = 1.0
     t = jnp.zeros(p.shape[:-1], p.dtype)
     for _ in range(num_octaves):
-        t = t + amplitude * perlin3(perm, p * frequency)
+        t = t + amplitude * perlin3(key, p * frequency)
         frequency *= 2.0
         amplitude *= g
     return t
