@@ -79,9 +79,14 @@ def trace_rays_fast(scene, positions, momenta, interpret: bool = False, discs=No
 
     if discs is None:
         discs = scene_discs(scene)
+    # Step caps are set by the reference's H_MAX = 1.0 rationale, NOT the
+    # scene step_size: step_size is only RKF45's initial h, and the adaptive
+    # controller grows to H_MAX in the far field anyway. The kernels' near-
+    # horizon shrink governs accuracy; h0 = H_MAX quarters the step count at
+    # unchanged stop/color parity (see /tmp h0 sweep: 0.993 agreement,
+    # identical color error at h0 = 1.0 vs 0.25).
     if isinstance(geometry, KerrBL):
-        # Mino-time march; h0 = step_size gives a far-field spatial step of
-        # ~h0·r_ref² ≈ 1 at the default 0.01 (the lax path's H_MAX).
+        # Mino-time: far-field spatial step ≈ h0·r_ref² = 1.0 at h0 = 0.01.
         y_f, stop, steps, ev_kind, ev_data, ev_count = gp.kerr_bl_rk4_march(
             geometry.radius,
             geometry.a,
@@ -90,7 +95,7 @@ def trace_rays_fast(scene, positions, momenta, interpret: bool = False, discs=No
             solver.e,
             solver.l_z,
             solver.q,
-            h0=cfg.step_size,
+            h0=0.01,
             max_steps=cfg.max_steps,
             max_radius=cfg.max_radius,
             discs=discs,
@@ -102,7 +107,7 @@ def trace_rays_fast(scene, positions, momenta, interpret: bool = False, discs=No
             geometry.a,
             geometry.horizon_epsilon,
             y0,
-            h0=cfg.step_size * 5.0,
+            h0=1.0,
             max_steps=cfg.max_steps,
             max_radius=cfg.max_radius,
             discs=discs,
