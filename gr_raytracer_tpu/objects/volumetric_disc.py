@@ -291,9 +291,9 @@ class VolumetricDisc(struct.PyTreeNode):
             light = self.texture.color_at_uv(u, v, temperature, redshift)
 
             light_attenuation = jnp.exp(-density * d_s * sigma)
-            intensity = jnp.power(
-                temperature / self.brightness_reference_temperature, 4.0
-            )
+            t_ratio = temperature / self.brightness_reference_temperature
+            t2 = t_ratio * t_ratio
+            intensity = t2 * t2  # T⁴ without the transcendental pow
             weight = transparency * light_attenuation * self.scattering * density * d_s
             emit_mask = live_emit.astype(dtype)
             accum = c["accum"] + (weight * intensity * emit_mask)[..., None] * light[..., :3]

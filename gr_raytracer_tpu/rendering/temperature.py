@@ -39,12 +39,16 @@ class TemperatureLUT(struct.PyTreeNode):
     `below_isco(r)` exposes the condition for diagnostics.
     """
 
-    radii: jnp.ndarray  # [L]
+    radii: jnp.ndarray  # [L], uniform grid
     temps: jnp.ndarray  # [L]
     r_isco: jnp.ndarray
 
     def at(self, r):
-        return jnp.interp(r, self.radii, self.temps)
+        from gr_raytracer_tpu.ops.lut import uniform_interp
+
+        dx = (self.radii[-1] - self.radii[0]) / (self.radii.shape[0] - 1)
+        r = jnp.clip(r, self.radii[0], self.radii[-1])
+        return uniform_interp(r, self.radii[0], dx, self.temps)
 
     def below_isco(self, r):
         return r < self.r_isco

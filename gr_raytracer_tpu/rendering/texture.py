@@ -114,12 +114,15 @@ class BlackBodyMap(struct.PyTreeNode):
         )
 
     def sample(self, temperature):
+        from gr_raytracer_tpu.ops.lut import uniform_interp
+
         lt = jnp.log10(jnp.maximum(temperature, blackbody.MIN_TEMPERATURE))
         lt = jnp.clip(lt, self.log_t[0], self.log_t[-1])
-        x = jnp.interp(lt, self.log_t, self.xyz[:, 0])
-        y = jnp.interp(lt, self.log_t, self.xyz[:, 1])
-        z = jnp.interp(lt, self.log_t, self.xyz[:, 2])
-        return jnp.stack([x, y, z, jnp.ones_like(x)], axis=-1)
+        # The grid is uniform in log10 T: direct-index interpolation (2
+        # gathers) instead of jnp.interp's per-query binary search.
+        dx = (self.log_t[-1] - self.log_t[0]) / (self.log_t.shape[0] - 1)
+        xyz = uniform_interp(lt, self.log_t[0], dx, self.xyz)
+        return jnp.concatenate([xyz, jnp.ones_like(xyz[..., :1])], axis=-1)
 
     def color_at_uv(self, u, v, temperature, redshift):
         color = self.sample(temperature * redshift)
