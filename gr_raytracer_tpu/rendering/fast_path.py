@@ -25,6 +25,19 @@ def supports_scene(scene) -> bool:
     )
 
 
+def _impact_proxy(geometry, x, p):
+    """(E, |L|) per ray for the cost sort. KerrBL: √(L_z² + Q); KS Cartesian:
+    |r × p| with E from the covariant p_t."""
+    if isinstance(geometry, KerrBL):
+        e, l_z, q = geometry.conserved_from_bl(x, p)
+        return e, jnp.sqrt(jnp.maximum(l_z * l_z + q, 0.0))
+    g = geometry.metric(x)
+    p_cov = jnp.einsum("...ij,...j->...i", g, p)
+    e = -p_cov[..., 0]
+    l = jnp.cross(x[..., 1:4], p[..., 1:4])
+    return e, jnp.sqrt(jnp.sum(l * l, axis=-1))
+
+
 def scene_discs(scene) -> tuple:
     """Static DiscSpec tuple from a CONCRETE scene (fails on tracers)."""
     return tuple(
@@ -72,6 +85,19 @@ def trace_rays_fast(scene, positions, momenta, interpret: bool = False, discs=No
     if pad:
         positions = jnp.concatenate([positions, jnp.broadcast_to(positions[:1], (pad, 4))])
         momenta = jnp.concatenate([momenta, jnp.broadcast_to(momenta[:1], (pad, 4))])
+
+    # Cost-sort: each kernel block marches until its SLOWEST lane stops, and
+    # the slow lanes (photon-ring grazers, b ≈ b_crit ≈ 3√3 M) lie on a thin
+    # ring through the image — row-major order sprinkles one into almost
+    # every block. Sorting lanes by |b − b_crit| concentrates them into few
+    # blocks; everything is unsorted again on output.
+    e_g, lz_tot = _impact_proxy(geometry, positions, momenta)
+    b = jnp.abs(lz_tot) / jnp.maximum(jnp.abs(e_g), 1e-12)
+    b_crit = 2.598 * geometry.radius  # 3√3 M, Schwarzschild value as proxy
+    order = jnp.argsort(jnp.abs(b - b_crit))
+    inverse = jnp.argsort(order)
+    positions = positions[order]
+    momenta = momenta[order]
 
     solver = geometry.make_solver(positions, momenta)
     y0 = solver.initial_state(positions, momenta)
@@ -131,12 +157,13 @@ def trace_rays_fast(scene, positions, momenta, interpret: bool = False, discs=No
     colors = scn._shade_events(scene, freq, res)
     celestial = scn._celestial_color(scene, freq, solver, res)
     color, ray_class = scn.fold_samples(scene, res.ev_kind, colors, res.stop_code, celestial)
+    # Undo the cost sort before slicing off the padding.
     return scn.RaySamples(
-        color=color[:n],
-        ray_class=ray_class[:n],
-        stop_code=res.stop_code[:n],
-        steps=res.steps[:n],
-        ev_overflow=res.ev_overflow[:n],
-        kk_drift=res.kk_drift[:n],
-        const_drift=res.const_drift[:n],
+        color=color[inverse][:n],
+        ray_class=ray_class[inverse][:n],
+        stop_code=res.stop_code[inverse][:n],
+        steps=res.steps[inverse][:n],
+        ev_overflow=res.ev_overflow[inverse][:n],
+        kk_drift=res.kk_drift[inverse][:n],
+        const_drift=res.const_drift[inverse][:n],
     )
