@@ -37,7 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gr_raytracer_tpu.rendering import integrator as integ
 
-LANE_TILE = 512  # rays per block; 8×512 f32 state = 16 KB VMEM
+LANE_TILE = int(__import__("os").environ.get("GR_LANE_TILE", "512"))  # rays per block
 MAX_EVENTS = 4
 EVENT_WIDTH = 12
 

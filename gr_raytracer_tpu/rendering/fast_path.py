@@ -12,6 +12,7 @@ import jax.numpy as jnp
 
 from gr_raytracer_tpu.geometry.kerr import Kerr
 from gr_raytracer_tpu.geometry.kerr_bl import KerrBL
+from gr_raytracer_tpu.geometry.schwarzschild import Schwarzschild
 from gr_raytracer_tpu.objects.disc import Disc
 from gr_raytracer_tpu.ops import geodesic_pallas as gp
 from gr_raytracer_tpu.rendering import integrator as integ
@@ -20,7 +21,9 @@ from gr_raytracer_tpu.rendering.redshift import ray_frequency_data
 
 
 def supports_scene(scene) -> bool:
-    return isinstance(scene.geometry, (Kerr, KerrBL)) and all(
+    """Kerr -> KS kernel; KerrBL -> Mino kernel; Schwarzschild -> Mino kernel
+    at a = 0 (the BL chart coincides with the spherical chart there)."""
+    return isinstance(scene.geometry, (Kerr, KerrBL, Schwarzschild)) and all(
         isinstance(o, Disc) for o in scene.objects
     )
 
@@ -76,8 +79,19 @@ def trace_rays_fast(scene, positions, momenta, interpret: bool = False, discs=No
     traced scene (under jit), precompute them from the concrete scene and
     pass `discs` (see make_fast_tracer)."""
     if not supports_scene(scene):
-        raise ValueError("pallas fast path supports Kerr + thin discs only")
+        raise ValueError("pallas fast path supports Kerr/KerrBL/Schwarzschild + thin discs only")
     geometry = scene.geometry
+    if isinstance(geometry, Schwarzschild):
+        # The spherical chart IS the a = 0 BL chart: positions/momenta carry
+        # over verbatim and the Mino-time kernel integrates the same
+        # geodesics. Shading below still uses the original scene geometry.
+        march_geometry = KerrBL(
+            radius=geometry.radius,
+            a=jnp.zeros_like(geometry.radius),
+            horizon_epsilon=geometry.horizon_epsilon,
+        )
+    else:
+        march_geometry = geometry
     cfg = scene.integration
 
     n = positions.shape[0]
@@ -91,16 +105,19 @@ def trace_rays_fast(scene, positions, momenta, interpret: bool = False, discs=No
     # ring through the image — row-major order sprinkles one into almost
     # every block. Sorting lanes by |b − b_crit| concentrates them into few
     # blocks; everything is unsorted again on output.
-    e_g, lz_tot = _impact_proxy(geometry, positions, momenta)
+    e_g, lz_tot = _impact_proxy(march_geometry, positions, momenta)
     b = jnp.abs(lz_tot) / jnp.maximum(jnp.abs(e_g), 1e-12)
-    b_crit = 2.598 * geometry.radius  # 3√3 M, Schwarzschild value as proxy
+    b_crit = 2.598 * march_geometry.radius  # 3√3 M, Schwarzschild value as proxy
     order = jnp.argsort(jnp.abs(b - b_crit))
     inverse = jnp.argsort(order)
     positions = positions[order]
     momenta = momenta[order]
 
-    solver = geometry.make_solver(positions, momenta)
+    solver = march_geometry.make_solver(positions, momenta)
     y0 = solver.initial_state(positions, momenta)
+    # Shading scalars use the SCENE geometry (its signature convention):
+    # every redshift is a same-metric energy ratio, so the overall metric
+    # sign between (+,−,−,−) Schwarzschild and (−,+,+,+) BL cancels.
     freq = ray_frequency_data(geometry, positions, momenta, scene.camera.velocity)
 
     if discs is None:
@@ -111,12 +128,12 @@ def trace_rays_fast(scene, positions, momenta, interpret: bool = False, discs=No
     # horizon shrink governs accuracy; h0 = H_MAX quarters the step count at
     # unchanged stop/color parity (see /tmp h0 sweep: 0.993 agreement,
     # identical color error at h0 = 1.0 vs 0.25).
-    if isinstance(geometry, KerrBL):
+    if isinstance(march_geometry, KerrBL):
         # Mino-time: far-field spatial step ≈ h0·r_ref² = 1.0 at h0 = 0.01.
         y_f, stop, steps, ev_kind, ev_data, ev_count = gp.kerr_bl_rk4_march(
-            geometry.radius,
-            geometry.a,
-            geometry.horizon_epsilon,
+            march_geometry.radius,
+            march_geometry.a,
+            march_geometry.horizon_epsilon,
             y0,
             solver.e,
             solver.l_z,
@@ -129,9 +146,9 @@ def trace_rays_fast(scene, positions, momenta, interpret: bool = False, discs=No
         )
     else:
         y_f, stop, steps, ev_kind, ev_data, ev_count = gp.kerr_rk4_march(
-            geometry.radius,
-            geometry.a,
-            geometry.horizon_epsilon,
+            march_geometry.radius,
+            march_geometry.a,
+            march_geometry.horizon_epsilon,
             y0,
             h0=1.0,
             max_steps=cfg.max_steps,

@@ -318,6 +318,13 @@ def _trace_chunk_split(scene, rf, cf, vol_chunk: int = VOLUMETRIC_LANE_CHUNK):
         seg = geo.ev_data[nn, kk, 9:12]
         norm = np.maximum(np.linalg.norm(seg, axis=-1, keepdims=True), 1e-30)
         rd_all = seg / norm
+        # Each raymarch batch runs until its slowest lane exits; sort lanes
+        # by their precomputed exit distance so grazers (full-slab marches)
+        # share batches instead of pacing every batch.
+        ed = np.asarray(jax.device_get(obj.exit_distance(jnp.asarray(ro_all), jnp.asarray(rd_all))))
+        lane_order = np.argsort(ed)
+        nn, kk = nn[lane_order], kk[lane_order]
+        ro_all, rd_all = ro_all[lane_order], rd_all[lane_order]
         obs_all = geo.observer_energy[nn]
         pt_all = geo.p_t[nn]
         pphi_all = geo.p_phi[nn]

@@ -152,3 +152,53 @@ def test_kerr_bl_kernel_parity_with_rkf45_path():
     # Both paths should see disc hits in this framing.
     assert (np.asarray(ref.ray_class) == scn.HIT).any()
     assert (np.asarray(fast.ray_class) == scn.HIT).any()
+
+
+def test_schwarzschild_via_bl_kernel_parity():
+    """Schwarzschild scenes ride the a=0 Mino kernel (the spherical chart is
+    the a=0 BL chart); parity vs the native Schwarzschild RKF45 path."""
+    from gr_raytracer_tpu import config as cfgmod
+
+    toml = """
+celestial_temperature = 0.0
+[celestial_texture.Checker]
+beaming_exponent = 0.0
+width = 18.0
+height = 9.0
+color1 = [40, 40, 120]
+color2 = [5, 5, 20]
+[geometry_type.Schwarzschild]
+radius = 1.0
+horizon_epsilon = 1e-3
+[[objects]]
+[objects.Disc]
+inner_radius = 3.0
+outer_radius = 6.0
+temperature = 5000.0
+[objects.Disc.texture.BlackBody]
+beaming_exponent = 3.0
+"""
+    cfg = cfgmod.parse_config(toml)
+    opts = cfgmod.RenderOptions(
+        width=16,
+        height=8,
+        max_steps=3000,
+        max_radius=40.0,
+        step_size=0.01,
+        camera_position=(-10.0, 0.0, -0.5),
+        theta=-np.pi,
+    )
+    scene = cfgmod.create_scene(cfg, opts, jnp.float64)
+    assert fast_path.supports_scene(scene)
+    rr, cc = jnp.meshgrid(jnp.arange(8.0), jnp.arange(16.0), indexing="ij")
+    x, p = cam.pixel_rays(scene.camera, rr.ravel(), cc.ravel())
+    ref = scn.trace_rays(scene, x, p)
+    fast = fast_path.trace_rays_fast(scene, x, p, interpret=True)
+    stop_ref = np.asarray(ref.stop_code)
+    stop_fast = np.asarray(fast.stop_code)
+    assert (stop_ref == stop_fast).mean() > 0.9
+    tone = lambda c: c / (1.0 + c)
+    agree = stop_ref == stop_fast
+    err = np.abs(tone(np.asarray(ref.color))[agree] - tone(np.asarray(fast.color))[agree])
+    assert err.mean() < 5e-3
+    assert (np.asarray(fast.ray_class) == scn.HIT).any()
