@@ -156,6 +156,74 @@ class DiscSpec(NamedTuple):
     kind: int  # object index in the scene
 
 
+class SphereSpec(NamedTuple):
+    """Static sphere for in-kernel surface-crossing detection."""
+
+    radius: float
+    cx: float
+    cy: float
+    cz: float
+    kind: int
+
+
+def _store_sphere_events(
+    spheres, active, s3, e3, p_prev, p_new, ev_kind, ev_data, ev_count
+):
+    """Segment-vs-sphere with the reference's surface-crossing precondition
+    (sphere.rs:62-128): endpoint radii straddle the surface; prefer the +
+    root; local-frame spherical UV; world-space point.
+    s3/e3: [3, T] segment endpoints (spatial Cartesian)."""
+    t_lanes = s3.shape[-1]
+    d = e3 - s3
+    for sp in spheres:
+        # Componentwise with Python-scalar center offsets — Pallas kernels
+        # cannot capture array constants.
+        s_loc = jnp.stack([s3[0] - sp.cx, s3[1] - sp.cy, s3[2] - sp.cz], axis=0)
+        e_loc = jnp.stack([e3[0] - sp.cx, e3[1] - sp.cy, e3[2] - sp.cz], axis=0)
+        r2 = sp.radius * sp.radius
+        rs = jnp.sum(s_loc * s_loc, axis=0)
+        re = jnp.sum(e_loc * e_loc, axis=0)
+        crossing = ((rs >= r2) & (re <= r2)) | ((rs <= r2) & (re >= r2))
+
+        a = jnp.sum(d * d, axis=0)
+        b = 2.0 * jnp.sum(s_loc * d, axis=0)
+        c = rs - r2
+        disc = b * b - 4.0 * a * c
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        safe_a = jnp.where(a != 0.0, a, 1.0)
+        t1 = (-b + sq) / (2.0 * safe_a)
+        t2 = (-b - sq) / (2.0 * safe_a)
+        t1_ok = (t1 >= 0.0) & (t1 <= 1.0)
+        t2_ok = (t2 >= 0.0) & (t2 <= 1.0)
+        t = jnp.where(t1_ok, t1, t2)
+        hit = active & crossing & (disc >= 0.0) & (t1_ok | t2_ok) & (a != 0.0)
+
+        local = s_loc + t[None, :] * d
+        r_loc = jnp.sqrt(jnp.maximum(jnp.sum(local * local, axis=0), 1e-30))
+        cos_th = jnp.clip(local[2] / r_loc, -1.0, 1.0)
+        # acos via atan2 (no acos lowering): θ = atan2(√(1−c²), c).
+        theta = _atan2(jnp.sqrt(jnp.maximum(1.0 - cos_th * cos_th, 0.0)), cos_th)
+        phi = _atan2(local[1], local[0])
+        u = 1.0 - (jnp.pi + phi) / (2.0 * jnp.pi)
+        v = theta / jnp.pi
+        world = jnp.stack(
+            [local[0] + sp.cx, local[1] + sp.cy, local[2] + sp.cz], axis=0
+        )
+        p_interp = p_prev + t[None, :] * (p_new - p_prev)
+
+        payload = jnp.concatenate([world, p_interp, u[None], v[None], d], axis=0)
+        store = hit & (ev_count < MAX_EVENTS)
+        slot = jax.lax.broadcasted_iota(jnp.int32, (MAX_EVENTS, t_lanes), 0)
+        sel = (slot == ev_count[None, :]) & store[None, :]
+        ev_kind = jnp.where(sel, sp.kind, ev_kind)
+        comp = jax.lax.broadcasted_iota(jnp.int32, (MAX_EVENTS * EVENT_WIDTH, t_lanes), 0)
+        sel_data = (comp // EVENT_WIDTH == ev_count[None, :]) & store[None, :]
+        tiled = jnp.tile(payload, (MAX_EVENTS, 1))
+        ev_data = jnp.where(sel_data, tiled, ev_data)
+        ev_count = ev_count + store.astype(jnp.int32)
+    return ev_kind, ev_data, ev_count
+
+
 def _store_disc_events(
     discs, crossing, px, py, p_interp, seg, ev_kind, ev_data, ev_count
 ):
@@ -213,6 +281,7 @@ def _march_kernel(
     *,
     max_steps: int,
     discs: tuple,
+    spheres: tuple = (),
 ):
     radius = param_ref[0, 0]
     a = param_ref[1, 0]
@@ -300,19 +369,25 @@ def _march_kernel(
         code = jnp.where((code == integ.RUNNING) & budget, integ.BUDGET, code)
         stop_new = jnp.where(active, code, stop)
 
-        # --- equatorial-disc crossing events -----------------------------
+        # --- object crossing events --------------------------------------
+        if discs or spheres:
+            p_prev = _momentum_contra(radius, a, y)
+            p_new = _momentum_contra(radius, a, y_new)
         if discs:
             z_prev, z_new = y[3], y_new[3]
             crossing = (z_prev * z_new < 0.0) & active
             frac = z_prev / (z_prev - z_new + jnp.where(z_prev == z_new, 1.0, 0.0))
             px = y[1] + frac * (y_new[1] - y[1])
             py = y[2] + frac * (y_new[2] - y[2])
-            p_prev = _momentum_contra(radius, a, y)
-            p_new = _momentum_contra(radius, a, y_new)
             p_interp = p_prev + frac[None, :] * (p_new - p_prev)
             seg = y_new[1:4] - y[1:4]
             ev_kind, ev_data, ev_count = _store_disc_events(
                 discs, crossing, px, py, p_interp, seg, ev_kind, ev_data, ev_count
+            )
+        if spheres:
+            ev_kind, ev_data, ev_count = _store_sphere_events(
+                spheres, active, y[1:4], y_new[1:4], p_prev, p_new,
+                ev_kind, ev_data, ev_count,
             )
 
         meta_new = jnp.concatenate(
@@ -346,6 +421,7 @@ def kerr_rk4_march(
     max_steps: int,
     max_radius: float,
     discs: tuple = (),
+    spheres: tuple = (),
     h_min_frac: float = 0.01,
     r_ref_scale: float = 10.0,
     interpret: bool = False,
@@ -376,7 +452,9 @@ def kerr_rk4_march(
         (rows, LANE_TILE), lambda i: (0, i), memory_space=pltpu.VMEM
     )
 
-    kernel = functools.partial(_march_kernel, max_steps=max_steps, discs=tuple(discs))
+    kernel = functools.partial(
+        _march_kernel, max_steps=max_steps, discs=tuple(discs), spheres=tuple(spheres)
+    )
     y_f, meta, ev_data = pl.pallas_call(
         kernel,
         grid=grid,

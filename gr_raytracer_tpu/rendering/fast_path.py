@@ -14,6 +14,7 @@ from gr_raytracer_tpu.geometry.kerr import Kerr
 from gr_raytracer_tpu.geometry.kerr_bl import KerrBL
 from gr_raytracer_tpu.geometry.schwarzschild import Schwarzschild
 from gr_raytracer_tpu.objects.disc import Disc
+from gr_raytracer_tpu.objects.sphere import Sphere
 from gr_raytracer_tpu.ops import geodesic_pallas as gp
 from gr_raytracer_tpu.rendering import integrator as integ
 from gr_raytracer_tpu.rendering import scene as scn
@@ -21,11 +22,15 @@ from gr_raytracer_tpu.rendering.redshift import ray_frequency_data
 
 
 def supports_scene(scene) -> bool:
-    """Kerr -> KS kernel; KerrBL -> Mino kernel; Schwarzschild -> Mino kernel
-    at a = 0 (the BL chart coincides with the spherical chart there)."""
-    return isinstance(scene.geometry, (Kerr, KerrBL, Schwarzschild)) and all(
-        isinstance(o, Disc) for o in scene.objects
-    )
+    """Kerr -> KS kernel (discs + spheres); KerrBL -> Mino kernel (discs);
+    Schwarzschild -> Mino kernel at a = 0 (the BL chart coincides with the
+    spherical chart there; the Mino kernel tracks no per-step Cartesian
+    embedding, so spheres stay on the lax path for BL charts)."""
+    if isinstance(scene.geometry, Kerr):
+        return all(isinstance(o, (Disc, Sphere)) for o in scene.objects)
+    if isinstance(scene.geometry, (KerrBL, Schwarzschild)):
+        return all(isinstance(o, Disc) for o in scene.objects)
+    return False
 
 
 def _impact_proxy(geometry, x, p):
@@ -42,11 +47,23 @@ def _impact_proxy(geometry, x, p):
 
 
 def scene_discs(scene) -> tuple:
-    """Static DiscSpec tuple from a CONCRETE scene (fails on tracers)."""
-    return tuple(
-        gp.DiscSpec(float(o.inner_radius), float(o.outer_radius), idx)
-        for idx, o in enumerate(scene.objects)
-    )
+    """Static (DiscSpec..., SphereSpec...) tuples from a CONCRETE scene
+    (fails on tracers)."""
+    discs, spheres = [], []
+    for idx, o in enumerate(scene.objects):
+        if isinstance(o, Disc):
+            discs.append(gp.DiscSpec(float(o.inner_radius), float(o.outer_radius), idx))
+        elif isinstance(o, Sphere):
+            spheres.append(
+                gp.SphereSpec(
+                    float(o.radius),
+                    float(o.center[1]),
+                    float(o.center[2]),
+                    float(o.center[3]),
+                    idx,
+                )
+            )
+    return tuple(discs), tuple(spheres)
 
 
 def make_fast_tracer(concrete_scene):
@@ -122,6 +139,7 @@ def trace_rays_fast(scene, positions, momenta, interpret: bool = False, discs=No
 
     if discs is None:
         discs = scene_discs(scene)
+    discs, spheres = discs
     # Step caps are set by the reference's H_MAX = 1.0 rationale, NOT the
     # scene step_size: step_size is only RKF45's initial h, and the adaptive
     # controller grows to H_MAX in the far field anyway. The kernels' near-
@@ -154,6 +172,7 @@ def trace_rays_fast(scene, positions, momenta, interpret: bool = False, discs=No
             max_steps=cfg.max_steps,
             max_radius=cfg.max_radius,
             discs=discs,
+            spheres=spheres,
             interpret=interpret,
         )
 

@@ -202,3 +202,74 @@ beaming_exponent = 3.0
     err = np.abs(tone(np.asarray(ref.color))[agree] - tone(np.asarray(fast.color))[agree])
     assert err.mean() < 5e-3
     assert (np.asarray(fast.ray_class) == scn.HIT).any()
+
+
+def test_kerr_sphere_kernel_parity():
+    """Kerr + sphere + disc rides the KS kernel with in-kernel sphere
+    crossings (sphere.rs semantics incl. the straddle precondition)."""
+    from gr_raytracer_tpu import config as cfgmod
+
+    toml = """
+celestial_temperature = 0.0
+[celestial_texture.Checker]
+beaming_exponent = 0.0
+width = 18.0
+height = 9.0
+color1 = [40, 40, 120]
+color2 = [5, 5, 20]
+[geometry_type.Kerr]
+radius = 0.4
+a = 0.15
+horizon_epsilon = 1e-3
+[[objects]]
+[objects.Disc]
+inner_radius = 3.0
+outer_radius = 5.0
+temperature = 2000.0
+[objects.Disc.texture.Checker]
+beaming_exponent = 0.0
+width = 6.0
+height = 6.0
+color1 = [255, 120, 0]
+color2 = [120, 40, 0]
+[[objects]]
+[objects.Sphere]
+radius = 2.0
+position = [0.0, 0.0, 0.0]
+temperature = 2000.0
+[objects.Sphere.texture.Checker]
+beaming_exponent = 0.0
+width = 6.0
+height = 6.0
+color1 = [255, 0, 0]
+color2 = [90, 0, 0]
+"""
+    cfg = cfgmod.parse_config(toml)
+    opts = cfgmod.RenderOptions(
+        width=16,
+        height=8,
+        max_steps=3000,
+        max_radius=40.0,
+        step_size=0.05,
+        camera_position=(-10.0, 0.0, -0.5),
+        theta=1.52,
+        psi=-1.57,
+    )
+    scene = cfgmod.create_scene(cfg, opts, jnp.float64)
+    assert fast_path.supports_scene(scene)
+    rr, cc = jnp.meshgrid(jnp.arange(8.0), jnp.arange(16.0), indexing="ij")
+    x, p = cam.pixel_rays(scene.camera, rr.ravel(), cc.ravel())
+    ref = scn.trace_rays(scene, x, p)
+    fast = fast_path.trace_rays_fast(scene, x, p, interpret=True)
+    stop_ref = np.asarray(ref.stop_code)
+    stop_fast = np.asarray(fast.stop_code)
+    assert (stop_ref == stop_fast).mean() > 0.9
+    # Sphere visibly hit on both paths, with matching hit sets mostly.
+    hit_ref = np.asarray(ref.ray_class) == scn.HIT
+    hit_fast = np.asarray(fast.ray_class) == scn.HIT
+    assert hit_ref.any() and hit_fast.any()
+    assert (hit_ref == hit_fast).mean() > 0.9
+    tone = lambda c: c / (1.0 + c)
+    agree = (stop_ref == stop_fast) & (hit_ref == hit_fast)
+    err = np.abs(tone(np.asarray(ref.color))[agree] - tone(np.asarray(fast.color))[agree])
+    assert err.mean() < 2e-2
