@@ -134,3 +134,41 @@ def test_invariant_drift_small_schwarzschild():
     res = integ.integrate_rays(geometry, solver, cfg, y0, integ.no_objects_segment_fn(1), 1)
     assert float(jnp.max(res.kk_drift)) < 1e-4
     assert float(jnp.max(res.const_drift)) < 1e-4
+
+
+def test_kerr_bl_pole_ray_classified_not_crashed():
+    """A ray aimed at the polar axis in BL coordinates diverges (Θ potential
+    ~ 1/sin²θ); it must be *classified* (NaN -> captured-black semantics),
+    never poison other lanes (kerr_bl.rs:156-163 / integrator NaN stop)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gr_raytracer_tpu.geometry.kerr_bl import KerrBL
+    from gr_raytracer_tpu.rendering import integrator as integ
+
+    geometry = KerrBL(
+        radius=jnp.asarray(1.0), a=jnp.asarray(0.3), horizon_epsilon=jnp.asarray(1e-3)
+    )
+    # Lane 0: straight up the axis (L_z = 0, heading to theta -> 0).
+    # Lane 1: ordinary escaping ray.
+    x = jnp.asarray([[0.0, 8.0, jnp.pi / 2, 0.0], [0.0, 8.0, jnp.pi / 2, 0.0]])
+    p_polar = jnp.asarray([1.2, 0.0, -0.15, 0.0])   # toward the pole
+    p_out = jnp.asarray([1.0, 1.0, 0.0, 0.01])
+    p = jnp.stack([p_polar, p_out])
+    solver = geometry.make_solver(x, p)
+    y0 = solver.initial_state(x, p)
+    cfg = integ.IntegrationConfig(
+        max_radius=jnp.asarray(50.0),
+        step_size=jnp.asarray(0.01),
+        epsilon=jnp.asarray(1e-7),
+        max_steps=20000,
+    )
+    res = integ.integrate_rays(
+        geometry, solver, cfg, y0, integ.no_objects_segment_fn(1), 1
+    )
+    stops = np.asarray(res.stop_code)
+    # The ordinary lane escapes cleanly regardless of its neighbor.
+    assert stops[1] == integ.CELESTIAL
+    # The polar lane terminates with a *classification*, not a hang/poison.
+    assert stops[0] in (integ.NAN, integ.CELESTIAL, integ.BUDGET, integ.STEP_FAILED)
+    assert bool(np.isfinite(np.asarray(res.y)[1]).all())
