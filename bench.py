@@ -1,19 +1,32 @@
 """Benchmark: Kerr (Kerr-Schild) render throughput on one chip.
 
 Prints exactly ONE JSON line:
-    {"metric": ..., "value": N, "unit": "rays/s", "vs_baseline": N, "backend": ...}
+    {"metric": ..., "value": N, "unit": "rays/s", "vs_baseline": N,
+     "backend": ..., "attempts": [...], "mfu": {...}}
 
 The workload is the flagship Kerr blackbody-disc scene (presets.py) at a
 fixed 256x256 grid and integration budget, rendered through the production
-driver path (chunked + requeue compaction), so the number is comparable
-across rounds. The reference publishes no numbers (BASELINE.md);
-vs_baseline compares against this repo's earliest recorded round
-(BENCH_r*.json) when present, else 1.0.
+driver path (chunked + requeue compaction + Pallas fast path), so the
+number is comparable across rounds. The reference publishes no numbers
+(BASELINE.md); vs_baseline compares against this repo's earliest recorded
+round whose backend MATCHES (BENCH_r*.json) — a TPU number is never scored
+against a CPU fallback (r1 verdict weakness #1b).
 
-Robustness: the measurement runs in a child process with a hard timeout —
-a wedged TPU runtime (observed with this tunnel) then falls back to a CPU
-measurement instead of hanging the driver. The child prints its own result
-line; the parent relays exactly one line to stdout.
+Robustness against the tunneled-TPU failure modes that voided round 1's
+number (cold remote compile takes minutes; a killed process wedges the
+remote worker for 10-25 min):
+  * a dedicated WARM child first compiles the graph with its own generous
+    timeout (the persistent .jax_cache then serves the measuring child and
+    every future driver run);
+  * the TPU measurement is attempted twice before falling back to CPU;
+  * every attempt's outcome (rc / timeout / tail of stderr) is recorded in
+    the emitted JSON so a fallback is never silent.
+
+Roofline accounting: the kernel is pure VPU work (no matmuls — the MXU is
+idle by design; an 8-component ODE state has nothing to contract). The JSON
+carries a `mfu` block with FLOPs/ray-step measured by XLA cost analysis of
+the exact RK4 step expression, measured steps/s, and the implied fraction
+of the v5e VPU f32 peak. See BASELINE.md for the roofline discussion.
 """
 
 from __future__ import annotations
@@ -28,20 +41,64 @@ import time
 ROWS = COLS = 256
 MAX_STEPS = 2000
 REPEATS = 3
-CHILD_TIMEOUT_S = 540
+WARM_TIMEOUT_S = 2700  # cold remote compile through the tunnel takes ~25 min
+MEASURE_TIMEOUT_S = 600
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
 
+# TPU v5e (v5 lite) VPU f32 peak estimate: 8 sublanes x 128 lanes x 4 ALUs
+# x ~1.74 GHz core clock ~= 7.1e12 FLOP/s. The geodesic march never touches
+# the MXU (no contractions), so VPU f32 is the binding compute roofline;
+# HBM traffic is ~100 B/ray TOTAL (VMEM-resident march), i.e. the kernel is
+# compute-bound by ~5 orders of magnitude (BASELINE.md).
+VPU_PEAK_F32 = 7.1e12
 
-def measure():
-    import jax
 
-    # Persistent compile cache: repeated bench runs (and driver reruns) skip
-    # the multi-minute tunnel compile.
+def _configure_cache(jax):
     try:
         jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+
+
+def estimate_step_flops():
+    """FLOPs per ray per RK4 step of the KS kernel, from XLA cost analysis
+    of the exact step expression (4x _rhs + state update + adaptive-lite h).
+    Counted on the CPU backend (cost analysis of the Pallas kernel itself is
+    unavailable); the arithmetic is identical by construction."""
+    import jax
+    import jax.numpy as jnp
+
+    from gr_raytracer_tpu.ops import geodesic_pallas as gp
+
+    lanes = 512
+
+    def step(y):
+        radius, a = 1.0, 0.45
+        r_plus = 0.5 + (0.25 - a * a) ** 0.5 if a * a < 0.25 else 0.5
+        _, _, _, _, r_here = gp._ks_scalars(radius, a, y[1], y[2], y[3])
+        h = 1.0 * jnp.clip((r_here - r_plus) / 10.0, 0.01, 1.0)
+        k1 = gp._rhs(radius, a, y)
+        k2 = gp._rhs(radius, a, y + 0.5 * h * k1)
+        k3 = gp._rhs(radius, a, y + 0.5 * h * k2)
+        k4 = gp._rhs(radius, a, y + h * k3)
+        return y + (h / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+
+    try:
+        y = jnp.ones((8, lanes), jnp.float32)
+        cost = jax.jit(step, backend="cpu").lower(y).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost["flops"]) / lanes
+    except Exception as e:  # cost analysis is best-effort
+        print(f"[bench] cost analysis failed ({e}); using analytic count", file=sys.stderr)
+        return 1000.0  # hand count: ~215 flops/RHS x 4 + update/stops/events
+
+
+def measure():
+    import jax
+
+    _configure_cache(jax)
     import jax.numpy as jnp
     import numpy as np
 
@@ -61,7 +118,7 @@ def measure():
     def run(shift):
         # Sub-pixel shift: same compiled fn, but the tunnel can't serve a
         # cached dispatch for repeated identical inputs.
-        colors, _ = rt.trace_pixels_chunked(scene, rf + shift, cf, chunk_size=ROWS * COLS)
+        colors, _, _ = rt.trace_pixels_chunked(scene, rf + shift, cf, chunk_size=ROWS * COLS)
         return colors
 
     t0 = time.perf_counter()
@@ -77,67 +134,147 @@ def measure():
     best = min(times)
     rays_per_s = ROWS * COLS / best
     print(f"[bench] times={['%.3f' % t for t in times]} rays/s={rays_per_s:.0f}", file=sys.stderr)
-    return rays_per_s, backend
+
+    # --- roofline accounting (kernel path — TPU only) -------------------
+    mfu = None
+    try:
+        if backend != "tpu":
+            raise RuntimeError("skipped off-TPU (interpret-mode march would dominate)")
+        from gr_raytracer_tpu.rendering import camera as cam
+        from gr_raytracer_tpu.rendering import fast_path
+
+        x, p = cam.pixel_rays(scene.camera, jnp.asarray(rf), jnp.asarray(cf))
+        s = fast_path.trace_rays_fast(scene, x, p)
+        total_steps = int(np.asarray(jax.device_get(s.steps), np.int64).sum())
+        flops_per_step = estimate_step_flops()
+        steps_per_s = total_steps / best
+        flops_per_s = steps_per_s * flops_per_step
+        mfu = {
+            "flops_per_ray_step": round(flops_per_step, 1),
+            "total_ray_steps": total_steps,
+            "steps_per_s": round(steps_per_s, 1),
+            "flops_per_s": round(flops_per_s, 1),
+            "vpu_peak_f32": VPU_PEAK_F32,
+            "vpu_utilization": round(flops_per_s / VPU_PEAK_F32, 4),
+        }
+        print(f"[bench] mfu={mfu}", file=sys.stderr)
+    except Exception as e:
+        print(f"[bench] mfu accounting failed: {e}", file=sys.stderr)
+
+    return rays_per_s, backend, compile_s, mfu
 
 
-def load_baseline():
-    for path in sorted(glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json"))):
+def warm():
+    """Compile-only pass: populates the persistent cache so the measuring
+    child (and the driver's rerun) never pays the cold tunnel compile."""
+    import jax
+
+    _configure_cache(jax)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gr_raytracer_tpu import presets
+    from gr_raytracer_tpu.rendering import raytracer as rt
+
+    params = presets.kerr_flagship_params(jnp.float32)
+    scene = presets.build_kerr_flagship(
+        params, ROWS, COLS, max_steps=MAX_STEPS, max_radius=40.0, step_size=0.05
+    )
+    rf = (np.arange(ROWS * COLS) // COLS).astype(np.float32)
+    cf = (np.arange(ROWS * COLS) % COLS).astype(np.float32)
+    t0 = time.perf_counter()
+    rt.trace_pixels_chunked(scene, rf, cf, chunk_size=ROWS * COLS)
+    print(f"[bench] warm pass done in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+
+def load_baseline(backend):
+    """Earliest recorded round value with a MATCHING backend — never compare
+    a TPU (CPU) number against a CPU (TPU) baseline."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
         try:
             rec = json.load(open(path))
+            if isinstance(rec, dict) and "tail" in rec and "parsed" in rec:
+                rec = rec["parsed"]  # driver wrapper format
             v = rec.get("value")
-            if v:
+            if v and rec.get("backend") == backend:
                 return float(v)
         except Exception:
             continue
     return None
 
 
-def emit(rays_per_s, backend):
-    baseline = load_baseline()
+def emit(rays_per_s, backend, attempts=None, compile_s=None, mfu=None):
+    baseline = load_baseline(backend)
     vs_baseline = rays_per_s / baseline if baseline else 1.0
-    print(
-        json.dumps(
-            {
-                "metric": "kerr_render_rays_per_s_per_chip",
-                "value": round(rays_per_s, 1),
-                "unit": "rays/s",
-                "vs_baseline": round(vs_baseline, 4),
-                "backend": backend,
-            }
+    rec = {
+        "metric": "kerr_render_rays_per_s_per_chip",
+        "value": round(rays_per_s, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(vs_baseline, 4),
+        "backend": backend,
+    }
+    if compile_s is not None:
+        rec["compile_s"] = round(compile_s, 1)
+    if mfu is not None:
+        rec["mfu"] = mfu
+    if attempts is not None:
+        rec["attempts"] = attempts
+    print(json.dumps(rec))
+
+
+def _run_child(args, env_extra, timeout):
+    env = dict(os.environ)
+    env.update(env_extra)
+    t0 = time.perf_counter()
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)] + args,
+            env=env,
+            timeout=timeout,
+            capture_output=True,
+            text=True,
         )
-    )
+    except subprocess.TimeoutExpired as e:
+        tail = ((e.stderr or b"").decode() if isinstance(e.stderr, bytes) else (e.stderr or ""))[-400:]
+        return None, {"rc": "timeout", "elapsed_s": round(time.perf_counter() - t0, 1), "tail": tail}
+    sys.stderr.write(out.stderr)
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    info = {"rc": out.returncode, "elapsed_s": round(time.perf_counter() - t0, 1)}
+    if out.returncode != 0 or not lines:
+        info["tail"] = out.stderr[-400:]
+        return None, info
+    return lines[-1], info
 
 
 def main():
+    if "--warm" in sys.argv:
+        warm()
+        return
     if "--worker" in sys.argv:
-        rays_per_s, backend = measure()
-        emit(rays_per_s, backend)
+        rays_per_s, backend, compile_s, mfu = measure()
+        emit(rays_per_s, backend, compile_s=compile_s, mfu=mfu)
         return
 
-    # Parent: isolate the measurement so a wedged TPU can't hang the driver.
-    here = os.path.abspath(__file__)
-    for attempt, env_extra in [("tpu", {}), ("cpu", {"JAX_PLATFORMS": "cpu", "PALLAS_AXON_POOL_IPS": ""})]:
-        env = dict(os.environ)
-        env.update(env_extra)
-        try:
-            out = subprocess.run(
-                [sys.executable, here, "--worker"],
-                env=env,
-                timeout=CHILD_TIMEOUT_S,
-                capture_output=True,
-                text=True,
-            )
-        except subprocess.TimeoutExpired:
-            print(f"[bench] {attempt} worker timed out after {CHILD_TIMEOUT_S}s", file=sys.stderr)
-            continue
-        sys.stderr.write(out.stderr)
-        lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
-        if out.returncode == 0 and lines:
-            print(lines[-1])
+    attempts = []
+    cpu_env = {"JAX_PLATFORMS": "cpu", "PALLAS_AXON_POOL_IPS": ""}
+
+    # Warm the compile cache on the TPU first (its own generous timeout —
+    # the cold tunnel compile is the documented round-1 killer).
+    _, warm_info = _run_child(["--warm"], {}, WARM_TIMEOUT_S)
+    attempts.append({"attempt": "tpu-warm", **warm_info})
+
+    plan = [("tpu", {}), ("tpu-retry", {}), ("cpu", cpu_env)]
+    for name, env_extra in plan:
+        line, info = _run_child(["--worker"], env_extra, MEASURE_TIMEOUT_S)
+        attempts.append({"attempt": name, **info})
+        if line is not None:
+            rec = json.loads(line)
+            rec["attempts"] = attempts
+            print(json.dumps(rec))
             return
-        print(f"[bench] {attempt} worker failed rc={out.returncode}", file=sys.stderr)
-    # Both attempts failed: emit a zero measurement rather than nothing.
-    emit(0.0, "none")
+    # Every attempt failed: emit a zero measurement rather than nothing.
+    emit(0.0, "none", attempts=attempts)
 
 
 if __name__ == "__main__":

@@ -48,3 +48,16 @@ class Disc(struct.PyTreeNode):
 
         r = geometry.radial_coordinate(point_cart4, charts.CARTESIAN)
         return self.temperature_model.at(r)
+
+    def temperature_fail(self, geometry, point_cart4):
+        """True where the temperature model rejects the sample — a disc hit
+        below r_isco with a Novikov-Thorne LUT is the reference's per-pixel
+        BelowRISCO error (temperature.rs:204-217); scene._shade_events maps
+        it to a failed pixel."""
+        model = self.temperature_model
+        if not hasattr(model, "below_isco"):
+            return jnp.zeros(point_cart4.shape[:-1], bool)
+        from gr_raytracer_tpu.geometry import chart as charts
+
+        r = geometry.radial_coordinate(point_cart4, charts.CARTESIAN)
+        return model.below_isco(r)

@@ -38,7 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 from gr_raytracer_tpu.rendering import integrator as integ
 
 LANE_TILE = int(__import__("os").environ.get("GR_LANE_TILE", "512"))  # rays per block
-MAX_EVENTS = 4
+MAX_EVENTS = 8  # matches the lax path's IntegrationConfig.max_events default
 EVENT_WIDTH = 12
 
 
@@ -167,7 +167,7 @@ class SphereSpec(NamedTuple):
 
 
 def _store_sphere_events(
-    spheres, active, s3, e3, p_prev, p_new, ev_kind, ev_data, ev_count
+    spheres, active, s3, e3, p_prev, p_new, ev_kind, ev_data, ev_count, ev_ovf
 ):
     """Segment-vs-sphere with the reference's surface-crossing precondition
     (sphere.rs:62-128): endpoint radii straddle the surface; prefer the +
@@ -221,11 +221,12 @@ def _store_sphere_events(
         tiled = jnp.tile(payload, (MAX_EVENTS, 1))
         ev_data = jnp.where(sel_data, tiled, ev_data)
         ev_count = ev_count + store.astype(jnp.int32)
-    return ev_kind, ev_data, ev_count
+        ev_ovf = ev_ovf | (hit & (~store)).astype(jnp.int32)
+    return ev_kind, ev_data, ev_count, ev_ovf
 
 
 def _store_disc_events(
-    discs, crossing, px, py, p_interp, seg, ev_kind, ev_data, ev_count
+    discs, crossing, px, py, p_interp, seg, ev_kind, ev_data, ev_count, ev_ovf
 ):
     """Fold equatorial-plane crossings into the per-lane event buffer.
     px/py: crossing point in the equatorial plane (Cartesian); p_interp:
@@ -260,16 +261,19 @@ def _store_disc_events(
         tiled = jnp.tile(payload, (MAX_EVENTS, 1))
         ev_data = jnp.where(sel_data, tiled, ev_data)
         ev_count = ev_count + store.astype(jnp.int32)
-    return ev_kind, ev_data, ev_count
+        ev_ovf = ev_ovf | (hit & (~store)).astype(jnp.int32)
+    return ev_kind, ev_data, ev_count, ev_ovf
 
 
 # Merged int32 per-lane metadata rows (Mosaic rejects [1, T] vectors mixed
-# with [8, T] in a while carry — "invalid relayout"; one tile-aligned [8, T]
-# i32 array avoids the replication mismatch entirely).
+# with [8, T] in a while carry — "invalid relayout"; one tile-aligned
+# [META_ROWS, T] i32 array avoids the replication mismatch entirely).
 META_STOP = 0
 META_STEPS = 1
 META_COUNT = 2
 META_KIND0 = 3  # rows 3..3+MAX_EVENTS-1
+META_OVF = META_KIND0 + MAX_EVENTS  # 1 where an event was DROPPED (buffer full)
+META_ROWS = 16  # sublane-tile-aligned (int32 tile is 8 rows)
 
 
 def _march_kernel(
@@ -301,7 +305,7 @@ def _march_kernel(
         [
             jnp.zeros((3, t), jnp.int32),  # stop, steps, count
             jnp.full((MAX_EVENTS, t), -1, jnp.int32),  # ev kinds
-            jnp.zeros((8 - 3 - MAX_EVENTS, t), jnp.int32),  # spare
+            jnp.zeros((META_ROWS - 3 - MAX_EVENTS, t), jnp.int32),  # ovf + spare
         ],
         axis=0,
     )
@@ -324,6 +328,7 @@ def _march_kernel(
         steps = meta[META_STEPS]
         ev_count = meta[META_COUNT]
         ev_kind = meta[META_KIND0 : META_KIND0 + MAX_EVENTS]
+        ev_ovf = meta[META_OVF]
         active = stop == integ.RUNNING
 
         _, _, _, _, r_here = _ks_scalars(radius, a, y[1], y[2], y[3])
@@ -381,13 +386,13 @@ def _march_kernel(
             py = y[2] + frac * (y_new[2] - y[2])
             p_interp = p_prev + frac[None, :] * (p_new - p_prev)
             seg = y_new[1:4] - y[1:4]
-            ev_kind, ev_data, ev_count = _store_disc_events(
-                discs, crossing, px, py, p_interp, seg, ev_kind, ev_data, ev_count
+            ev_kind, ev_data, ev_count, ev_ovf = _store_disc_events(
+                discs, crossing, px, py, p_interp, seg, ev_kind, ev_data, ev_count, ev_ovf
             )
         if spheres:
-            ev_kind, ev_data, ev_count = _store_sphere_events(
+            ev_kind, ev_data, ev_count, ev_ovf = _store_sphere_events(
                 spheres, active, y[1:4], y_new[1:4], p_prev, p_new,
-                ev_kind, ev_data, ev_count,
+                ev_kind, ev_data, ev_count, ev_ovf,
             )
 
         meta_new = jnp.concatenate(
@@ -396,7 +401,8 @@ def _march_kernel(
                 steps_new[None],
                 ev_count[None],
                 ev_kind,
-                meta[META_KIND0 + MAX_EVENTS :],
+                ev_ovf[None],
+                meta[META_OVF + 1 :],
             ],
             axis=0,
         )
@@ -464,12 +470,12 @@ def kerr_rk4_march(
         ],
         out_specs=[
             lane_spec(8),
-            lane_spec(8),
+            lane_spec(META_ROWS),
             lane_spec(MAX_EVENTS * EVENT_WIDTH),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((8, n), dtype),
-            jax.ShapeDtypeStruct((8, n), jnp.int32),
+            jax.ShapeDtypeStruct((META_ROWS, n), jnp.int32),
             jax.ShapeDtypeStruct((MAX_EVENTS * EVENT_WIDTH, n), dtype),
         ],
         interpret=interpret,
@@ -482,6 +488,7 @@ def kerr_rk4_march(
         meta[META_KIND0 : META_KIND0 + MAX_EVENTS].T,  # [N, K]
         ev_data.T.reshape(n, MAX_EVENTS, EVENT_WIDTH),
         meta[META_COUNT],
+        meta[META_OVF] != 0,
     )
 
 
@@ -559,7 +566,7 @@ def _bl_march_kernel(
         [
             jnp.zeros((3, t), jnp.int32),
             jnp.full((MAX_EVENTS, t), -1, jnp.int32),
-            jnp.zeros((8 - 3 - MAX_EVENTS, t), jnp.int32),
+            jnp.zeros((META_ROWS - 3 - MAX_EVENTS, t), jnp.int32),
         ],
         axis=0,
     )
@@ -582,6 +589,7 @@ def _bl_march_kernel(
         steps = meta[META_STEPS]
         ev_count = meta[META_COUNT]
         ev_kind = meta[META_KIND0 : META_KIND0 + MAX_EVENTS]
+        ev_ovf = meta[META_OVF]
         active = stop == integ.RUNNING
 
         r_here = y[1]
@@ -650,8 +658,8 @@ def _bl_march_kernel(
             y1c = (y_new[1] * sp1 + a * cp1) * st1
             z1 = y_new[1] * ct1
             seg = jnp.stack([x1 - x0, y1c - y0c, z1 - z0], axis=0)
-            ev_kind, ev_data, ev_count = _store_disc_events(
-                discs, crossing, px, py, p_interp, seg, ev_kind, ev_data, ev_count
+            ev_kind, ev_data, ev_count, ev_ovf = _store_disc_events(
+                discs, crossing, px, py, p_interp, seg, ev_kind, ev_data, ev_count, ev_ovf
             )
 
         meta_new = jnp.concatenate(
@@ -660,7 +668,8 @@ def _bl_march_kernel(
                 steps_new[None],
                 ev_count[None],
                 ev_kind,
-                meta[META_KIND0 + MAX_EVENTS :],
+                ev_ovf[None],
+                meta[META_OVF + 1 :],
             ],
             axis=0,
         )
@@ -731,12 +740,12 @@ def kerr_bl_rk4_march(
         ],
         out_specs=[
             lane_spec(8),
-            lane_spec(8),
+            lane_spec(META_ROWS),
             lane_spec(MAX_EVENTS * EVENT_WIDTH),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((8, n), dtype),
-            jax.ShapeDtypeStruct((8, n), jnp.int32),
+            jax.ShapeDtypeStruct((META_ROWS, n), jnp.int32),
             jax.ShapeDtypeStruct((MAX_EVENTS * EVENT_WIDTH, n), dtype),
         ],
         interpret=interpret,
@@ -749,4 +758,5 @@ def kerr_bl_rk4_march(
         meta[META_KIND0 : META_KIND0 + MAX_EVENTS].T,
         ev_data.T.reshape(n, MAX_EVENTS, EVENT_WIDTH),
         meta[META_COUNT],
+        meta[META_OVF] != 0,
     )

@@ -83,6 +83,50 @@ def perlin3(key: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     return z0 + w * (z1 - z0)
 
 
+def perlin3_lanes(key, x, y, z):
+    """Lane-wise Perlin: identical math to perlin3 but on three separate
+    [...] component arrays — the layout Pallas kernels use ([T] lanes rather
+    than a trailing size-3 axis, which would not tile)."""
+    key = jnp.asarray(key, jnp.uint32)
+    xi0, yi0, zi0 = jnp.floor(x), jnp.floor(y), jnp.floor(z)
+    xf, yf, zf = x - xi0, y - yi0, z - zi0
+    xi = xi0.astype(jnp.int32)
+    yi = yi0.astype(jnp.int32)
+    zi = zi0.astype(jnp.int32)
+
+    u, v, w = _fade(xf), _fade(yf), _fade(zf)
+    one = jnp.int32(1)
+    x000 = _grad(_hash3(key, xi, yi, zi), xf, yf, zf)
+    x100 = _grad(_hash3(key, xi + one, yi, zi), xf - 1.0, yf, zf)
+    x010 = _grad(_hash3(key, xi, yi + one, zi), xf, yf - 1.0, zf)
+    x110 = _grad(_hash3(key, xi + one, yi + one, zi), xf - 1.0, yf - 1.0, zf)
+    x001 = _grad(_hash3(key, xi, yi, zi + one), xf, yf, zf - 1.0)
+    x101 = _grad(_hash3(key, xi + one, yi, zi + one), xf - 1.0, yf, zf - 1.0)
+    x011 = _grad(_hash3(key, xi, yi + one, zi + one), xf, yf - 1.0, zf - 1.0)
+    x111 = _grad(_hash3(key, xi + one, yi + one, zi + one), xf - 1.0, yf - 1.0, zf - 1.0)
+
+    y00 = x000 + u * (x100 - x000)
+    y10 = x010 + u * (x110 - x010)
+    y01 = x001 + u * (x101 - x001)
+    y11 = x011 + u * (x111 - x011)
+    z0 = y00 + v * (y10 - y00)
+    z1 = y01 + v * (y11 - y01)
+    return z0 + w * (z1 - z0)
+
+
+def fbm_lanes(key, x, y, z, num_octaves: int, h: float = 0.5):
+    """Lane-wise fBm (see fbm)."""
+    g = 2.0 ** (-h)
+    frequency = 4.0
+    amplitude = 1.0
+    t = jnp.zeros_like(x)
+    for _ in range(num_octaves):
+        t = t + amplitude * perlin3_lanes(key, x * frequency, y * frequency, z * frequency)
+        frequency *= 2.0
+        amplitude *= g
+    return t
+
+
 def fbm(key: jnp.ndarray, p: jnp.ndarray, num_octaves: int, h: float = 0.5) -> jnp.ndarray:
     """Fractal Brownian motion matching volumetric_disc.rs:330-342:
     gain g = 2^{-h}, base frequency 4, amplitude 1."""

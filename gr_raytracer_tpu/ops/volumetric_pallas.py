@@ -1,0 +1,507 @@
+"""Pallas TPU kernel: volumetric-disc constant-step raymarch.
+
+The single most expensive workload in the reference's scene set
+(volumetric_disc.rs:199-328 — 50,000 steps × step_size 0.0002 per
+disc-entering ray at the hero 1500×1500 config). The lax raymarch
+(objects/volumetric_disc.py) re-reads its carry from HBM every step; here
+each lane block stays VMEM-resident for the whole march, like the geodesic
+kernel (ops/geodesic_pallas.py). The driver's exit-distance sort feeds block
+assignment, so blocks of short marches exit early together.
+
+Everything per sample is pure ALU:
+  * density — hash-Perlin fBm (ops/noise.py lane-wise variants; the hash is
+    uint32 multiply-xor-shift, no tables);
+  * redshift — transport-free Killing coefficients at the BL radius
+    (circular_orbit.rs / volumetric_disc.rs:252-258), closed form;
+  * temperature — the Novikov-Thorne radial LUT is replaced by a Chebyshev
+    fit of the SMOOTH quantity T⁴(r) (flux is ~linear near the ISCO where
+    T ∝ (r−r_isco)^¼ has an infinite slope), evaluated by a static-
+    coefficient Clenshaw recurrence, then two sqrt;
+  * blackbody texture — the log₁₀T color LUT is replaced by Chebyshev fits
+    of log₁₀X/Y/Z(log₁₀T) (smooth, slowly varying), exponentiated in-kernel.
+
+Chebyshev degrees are chosen so the fits match the lax LUT path to ~1e-4
+relative over their domains (validated by tests/test_volumetric_pallas.py);
+kernels cannot capture array constants, so coefficients enter as static
+Python floats unrolled into the Clenshaw recurrence.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gr_raytracer_tpu.ops import noise
+from gr_raytracer_tpu.ops.geodesic_pallas import LANE_TILE, _atan2
+
+IN_ROWS = 16  # ro3 | rd3 | obs_e | p_t | p_phi | exit_d | active | pad
+OUT_ROWS = 8  # xyz | alpha | pad
+TEMP_DEG = 32
+BB_DEG = 48
+BB_LOG_FLOOR = -120.0  # log10 of "no emission" (f64 min ~1e-308; f32 flushes)
+
+
+# ---------------------------------------------------------------------------
+# Host-side Chebyshev fitting (static kernel constants)
+# ---------------------------------------------------------------------------
+
+
+def cheb_fit(fn, lo: float, hi: float, deg: int):
+    """Chebyshev interpolation coefficients of fn over [lo, hi] (numpy,
+    host side). Returns a tuple of deg+1 Python floats (c0 ... c_deg)."""
+    k = np.arange(deg + 1)
+    nodes = np.cos(np.pi * (k + 0.5) / (deg + 1))  # Chebyshev points in [-1, 1]
+    x = 0.5 * (hi + lo) + 0.5 * (hi - lo) * nodes
+    f = np.asarray(fn(x), np.float64)
+    # c_j = 2/N * sum_k f(x_k) T_j(t_k), halved for j = 0.
+    tk = np.arccos(nodes)
+    c = []
+    n = deg + 1
+    for j in range(n):
+        cj = 2.0 / n * np.sum(f * np.cos(j * tk))
+        c.append(float(cj))
+    c[0] *= 0.5
+    return tuple(c)
+
+
+def cheb_eval(coeffs, lo, hi, x):
+    """Clenshaw evaluation with STATIC coefficients (Python floats) — safe
+    inside a Pallas kernel; unrolls to deg fused multiply-adds."""
+    t = (2.0 * x - (lo + hi)) / (hi - lo)
+    t2 = 2.0 * t
+    b1 = jnp.zeros_like(x)
+    b2 = jnp.zeros_like(x)
+    for c in reversed(coeffs[1:]):
+        b1, b2 = t2 * b1 - b2 + c, b1
+    return t * b1 - b2 + coeffs[0]
+
+
+class TempSpec(NamedTuple):
+    """Static temperature model: constant, or Chebyshev fit of T⁴(r)."""
+
+    kind: str  # "const" | "cheb"
+    value: float = 0.0
+    lo: float = 0.0
+    hi: float = 1.0
+    coeffs: tuple = ()
+
+
+class TexSpec(NamedTuple):
+    """Static texture: blackbody (3 log-XYZ Chebyshev fits) or checker."""
+
+    kind: str  # "blackbody" | "checker"
+    beaming: float = 0.0
+    lo: float = 0.0
+    hi: float = 1.0
+    cx: tuple = ()
+    cy: tuple = ()
+    cz: tuple = ()
+    c1: tuple = ()  # checker XYZA
+    c2: tuple = ()
+    width: float = 1.0
+    height: float = 1.0
+
+
+class VolSpec(NamedTuple):
+    """Static kernel parameters extracted from a CONCRETE VolumetricDisc +
+    geometry (everything the march needs, as Python scalars)."""
+
+    inner: float
+    outer: float
+    thickness: float
+    density_multiplier: float
+    brightness_ref: float
+    absorption: float
+    scattering: float
+    noise_scale: tuple  # (3,)
+    noise_offset: float
+    step_size: float
+    max_steps: int
+    num_octaves: int
+    key: int
+    axis: tuple  # (3,)
+    e1: tuple
+    e2: tuple
+    r_s: float
+    a: float
+    temp: TempSpec
+    tex: TexSpec
+
+
+def build_temp_spec(model, emit_lo=None, emit_hi=None) -> TempSpec:
+    """Fit the concrete temperature model over the disc's EMITTING radial
+    range [emit_lo, emit_hi] (density is zero outside, so the temperature
+    value there never contributes). Fitting T⁴ (≈ flux, smooth) rather than
+    T avoids the (r−r_isco)^¼ cusp; restricting the domain away from the
+    ISCO keeps the LUT interpolant polynomial-friendly."""
+    from gr_raytracer_tpu.rendering.temperature import ConstantTemperature
+
+    if isinstance(model, ConstantTemperature):
+        return TempSpec(kind="const", value=float(model.value))
+    radii = np.asarray(model.radii, np.float64)
+    lo = float(radii[0]) if emit_lo is None else max(float(radii[0]), float(emit_lo))
+    hi = float(radii[-1]) if emit_hi is None else min(float(radii[-1]), float(emit_hi))
+    if not hi > lo:
+        lo, hi = float(radii[0]), float(radii[-1])
+
+    def t4(r):
+        t = np.asarray(jax.device_get(model.at(jnp.asarray(r))), np.float64)
+        return t**4
+
+    return TempSpec(kind="cheb", lo=lo, hi=hi, coeffs=cheb_fit(t4, lo, hi, TEMP_DEG))
+
+
+def build_tex_spec(texture) -> TexSpec:
+    from gr_raytracer_tpu.rendering.texture import BlackBodyMap, CheckerMap
+
+    if isinstance(texture, CheckerMap):
+        return TexSpec(
+            kind="checker",
+            beaming=float(texture.beaming_exponent),
+            c1=tuple(float(v) for v in np.asarray(texture.c1)),
+            c2=tuple(float(v) for v in np.asarray(texture.c2)),
+            width=float(texture.width),
+            height=float(texture.height),
+        )
+    assert isinstance(texture, BlackBodyMap)
+    from gr_raytracer_tpu.rendering import blackbody
+
+    log_t = np.asarray(texture.log_t, np.float64)
+    # Fit log₁₀XYZ of the SMOOTH Planck×CIE integral (deg 48 → ~1e-8
+    # relative), not the 1000-point linear LUT: the LUT's own error vs the
+    # integral is ~1% at the steep low-T end (the reference budgets 2%,
+    # texture.rs LUT test), so the kernel is strictly MORE accurate than the
+    # lax LUT path; parity tests budget that 1%. Below ~400 K (lo = 2.6) the
+    # radiance underflows even f64 — the kernel returns 0 there.
+    lo = max(float(log_t[0]), 2.6)
+    hi = float(log_t[-1])
+
+    def chan(c):
+        def f(l):
+            v = np.asarray(
+                jax.device_get(blackbody.blackbody_xyz(jnp.asarray(10.0**l)))
+            )[:, c]
+            return np.log10(np.maximum(v, 10.0**BB_LOG_FLOOR))
+
+        return f
+
+    return TexSpec(
+        kind="blackbody",
+        beaming=float(texture.beaming_exponent),
+        lo=lo,
+        hi=hi,
+        cx=cheb_fit(chan(0), lo, hi, BB_DEG),
+        cy=cheb_fit(chan(1), lo, hi, BB_DEG),
+        cz=cheb_fit(chan(2), lo, hi, BB_DEG),
+    )
+
+
+def build_vol_spec(obj, geometry) -> VolSpec:
+    """Static spec from a concrete VolumetricDisc + geometry."""
+    return VolSpec(
+        inner=float(obj.inner_radius),
+        outer=float(obj.outer_radius),
+        thickness=float(obj.thickness),
+        density_multiplier=float(obj.density_multiplier),
+        brightness_ref=float(obj.brightness_reference_temperature),
+        absorption=float(obj.absorption),
+        scattering=float(obj.scattering),
+        noise_scale=tuple(float(v) for v in np.asarray(obj.noise_scale)),
+        noise_offset=float(obj.noise_offset),
+        step_size=float(obj.step_size),
+        max_steps=int(obj.max_steps),
+        num_octaves=int(obj.num_octaves),
+        key=int(np.asarray(obj.perm)),
+        axis=tuple(float(v) for v in np.asarray(obj.axis)),
+        e1=tuple(float(v) for v in np.asarray(obj.e1)),
+        e2=tuple(float(v) for v in np.asarray(obj.e2)),
+        r_s=float(geometry.radius),
+        a=float(getattr(geometry, "a", 0.0)),
+        temp=build_temp_spec(
+            obj.temperature_model, float(obj.inner_radius), float(obj.outer_radius)
+        ),
+        tex=build_tex_spec(obj.texture),
+    )
+
+
+def supports(obj, geometry) -> bool:
+    """Kernel coverage: Kerr/KerrBL/Schwarzschild geometry (one BL-radius
+    formula covers all three at their own spin), blackbody or checker
+    texture, constant or Novikov-Thorne temperature."""
+    from gr_raytracer_tpu.geometry.kerr import Kerr
+    from gr_raytracer_tpu.geometry.kerr_bl import KerrBL
+    from gr_raytracer_tpu.geometry.schwarzschild import Schwarzschild
+    from gr_raytracer_tpu.rendering.temperature import ConstantTemperature, TemperatureLUT
+    from gr_raytracer_tpu.rendering.texture import BlackBodyMap, CheckerMap
+
+    return (
+        isinstance(geometry, (Kerr, KerrBL, Schwarzschild))
+        and isinstance(obj.texture, (BlackBodyMap, CheckerMap))
+        and isinstance(obj.temperature_model, (ConstantTemperature, TemperatureLUT))
+    )
+
+
+# ---------------------------------------------------------------------------
+# In-kernel sample math (componentwise over [T] lanes)
+# ---------------------------------------------------------------------------
+
+DENSITY_VERTICAL_CUTOFF = 1e-3
+
+
+def _dot3(ax, ay, az, bx, by, bz):
+    return ax * bx + ay * by + az * bz
+
+
+def _cross3(ax, ay, az, bx, by, bz):
+    return ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx
+
+
+def _density(spec: VolSpec, px, py, pz):
+    """volumetric_disc.rs:97-152 / objects/volumetric_disc.py density()."""
+    axx, axy, axz = spec.axis
+    h = jnp.abs(px * axx + py * axy + pz * axz)
+    cx, cy, cz = _cross3(px, py, pz, axx, axy, axz)
+    r = jnp.sqrt(jnp.maximum(cx * cx + cy * cy + cz * cz, 1e-30))
+    inside = (r > spec.inner) & (r < spec.outer)
+
+    vertical = jnp.exp(-((h / spec.thickness) ** 2))
+    inside = inside & (vertical >= DENSITY_VERTICAL_CUTOFF)
+
+    safe_r = jnp.where(r > 0.0, r, 1.0)
+    t_ratio = spec.inner / safe_r
+    radial_base = t_ratio * jnp.sqrt(t_ratio)  # (inner/r)^1.5
+    boundary = jnp.exp(-1.0 / jnp.maximum((spec.outer - r) ** 2, 1e-4)) * jnp.exp(
+        -1.0 / jnp.maximum((r - spec.inner) ** 2, 1e-4)
+    )
+
+    e1x, e1y, e1z = spec.e1
+    e2x, e2y, e2z = spec.e2
+    x_loc = px * e1x + py * e1y + pz * e1z
+    y_loc = px * e2x + py * e2y + pz * e2z
+    phi = _atan2(y_loc, x_loc)
+    cphi, sphi = jnp.cos(phi), jnp.sin(phi)
+    key = jnp.uint32(spec.key)
+    n = noise.fbm_lanes(
+        key,
+        r * spec.noise_scale[0],
+        cphi * spec.noise_scale[1],
+        sphi * spec.noise_scale[1],
+        spec.num_octaves,
+        0.5,
+    )
+    n = n + 0.5 * noise.perlin3_lanes(key, r * 0.5, h * spec.noise_scale[2], cphi)
+    n = jnp.maximum(n + spec.noise_offset, 0.0) * spec.density_multiplier
+    return jnp.where(inside, n * radial_base * vertical * boundary, 0.0), r, h, phi
+
+
+def _killing_coefficients(r_s, a, r):
+    """(u^t, u^φ, ok) of the prograde circular orbit at BL radius r
+    (circular_orbit.rs:76-108), componentwise."""
+    sqrt_m = (0.5 * r_s) ** 0.5
+    omega = sqrt_m / (r * jnp.sqrt(r) + a * sqrt_m)
+    sigma = r * r
+    g_tt = -(1.0 - r_s * r / sigma)
+    g_tphi = -a * r_s * r / sigma
+    g_phiphi = r * r + a * a + a * a * r_s * r / sigma
+    ut_pre = g_tt + 2.0 * omega * g_tphi + omega * omega * g_phiphi
+    ok = ut_pre < 0.0
+    safe = jnp.where(ok, -ut_pre, 1.0)
+    u_t = jnp.where(ok, 1.0 / jnp.sqrt(safe), 0.0)
+    return u_t, omega * u_t, ok
+
+
+def _temperature(spec: VolSpec, r_dist):
+    if spec.temp.kind == "const":
+        return jnp.full_like(r_dist, spec.temp.value)
+    r = jnp.clip(r_dist, spec.temp.lo, spec.temp.hi)
+    t4 = jnp.maximum(cheb_eval(spec.temp.coeffs, spec.temp.lo, spec.temp.hi, r), 0.0)
+    return jnp.sqrt(jnp.sqrt(t4))
+
+
+_LOG10_E_INV = float(np.log(10.0))
+
+
+def _texture_color(spec: VolSpec, u, v, temperature, redshift):
+    """XYZ + texture alpha of the disc texture at (u, v, T, z)."""
+    tex = spec.tex
+    if tex.kind == "checker":
+        ut = jnp.floor(u * tex.width).astype(jnp.int32)
+        vt = jnp.floor(v * tex.height).astype(jnp.int32)
+        even = (ut + vt) % 2 == 0
+        col = [jnp.where(even, tex.c1[i], tex.c2[i]) for i in range(4)]
+        x, y, z, alpha = col
+    else:
+        t_shift = jnp.maximum(temperature * redshift, 1e-10)
+        l = jnp.log(t_shift) / _LOG10_E_INV  # log10
+        in_dom = l >= tex.lo
+        lc = jnp.clip(l, tex.lo, tex.hi)
+        x = jnp.exp(cheb_eval(tex.cx, tex.lo, tex.hi, lc) * _LOG10_E_INV)
+        y = jnp.exp(cheb_eval(tex.cy, tex.lo, tex.hi, lc) * _LOG10_E_INV)
+        z = jnp.exp(cheb_eval(tex.cz, tex.lo, tex.hi, lc) * _LOG10_E_INV)
+        zero = jnp.zeros_like(x)
+        x = jnp.where(in_dom, x, zero)
+        y = jnp.where(in_dom, y, zero)
+        z = jnp.where(in_dom, z, zero)
+        alpha = jnp.ones_like(x)
+    if tex.beaming != 0.0:
+        factor = jnp.exp(tex.beaming * jnp.log(jnp.maximum(redshift, 1e-30)))
+        x, y, z = x * factor, y * factor, z * factor
+    return x, y, z, alpha
+
+
+# ---------------------------------------------------------------------------
+# Kernel
+# ---------------------------------------------------------------------------
+
+
+def _march_kernel(in_ref, out_ref, *, spec: VolSpec):
+    data = in_ref[:, :]
+    rox, roy, roz = data[0], data[1], data[2]
+    rdx, rdy, rdz = data[3], data[4], data[5]
+    obs_e = data[6]
+    p_t = data[7]
+    p_phi = data[8]
+    exit_d = data[9]
+    active = data[10] > 0.5
+    t = rox.shape[-1]
+    dtype = data.dtype
+
+    d_s = spec.step_size
+    sigma = spec.absorption + spec.scattering
+
+    # carry rows: d_o, transparency, acc_x, acc_y, acc_z, a_w_sum, a_w_tot, done
+    carry0 = (
+        jnp.concatenate(
+            [
+                jnp.zeros((1, t), dtype),  # d_o
+                jnp.ones((1, t), dtype),  # transparency
+                jnp.zeros((5, t), dtype),  # acc3, alpha_w_sum, alpha_w_tot
+                jnp.where(active, 0.0, 1.0)[None].astype(dtype),  # done
+            ],
+            axis=0,
+        ),
+        jnp.zeros((), jnp.int32),
+    )
+
+    def cond(c):
+        acc, i = c
+        return jnp.logical_and(jnp.any(acc[7] < 0.5), i < spec.max_steps)
+
+    def body(c):
+        acc, i = c
+        d_o = acc[0]
+        transparency0 = acc[1]
+        live = acc[7] < 0.5
+
+        px = rox + rdx * d_o
+        py = roy + rdy * d_o
+        pz = roz + rdz * d_o
+        d_o_new = d_o + d_s
+
+        density, r_axis, h, phi = _density(spec, px, py, pz)
+        density = jnp.where(live, density, 0.0)
+        emitting = density > 0.0
+
+        attenuation = jnp.exp(-d_s * density * sigma)
+        transparency = jnp.where(live, transparency0 * attenuation, transparency0)
+
+        # Transport-free per-sample redshift (volumetric_disc.rs:252-258):
+        # BL radius from the Cartesian sample (exact for a = 0 too).
+        rho_sq = px * px + py * py + pz * pz
+        dd = rho_sq - spec.a * spec.a
+        r_bl = jnp.sqrt(
+            jnp.maximum(
+                0.5 * (dd + jnp.sqrt(dd * dd + 4.0 * spec.a * spec.a * pz * pz)), 1e-30
+            )
+        )
+        u_t, u_phi, orbit_ok = _killing_coefficients(spec.r_s, spec.a, r_bl)
+        emitter_energy = u_t * p_t + u_phi * p_phi
+        live_emit = emitting & orbit_ok & (jnp.abs(emitter_energy) > 0.0)
+        safe_e = jnp.where(live_emit, emitter_energy, 1.0)
+        redshift = jnp.where(live_emit, obs_e / safe_e, 1.0)
+
+        temperature = _temperature(spec, r_axis)
+        # UV (objects/volumetric_disc.py uv()): r from the in-plane radius.
+        r_norm = (r_axis - spec.inner) / (spec.outer - spec.inner)
+        u_uv = 0.5 + 0.5 * r_norm * jnp.cos(phi)
+        v_uv = 0.5 + 0.5 * r_norm * jnp.sin(phi)
+        lx, ly, lz, lalpha = _texture_color(spec, u_uv, v_uv, temperature, redshift)
+
+        light_attenuation = jnp.exp(-density * d_s * sigma)
+        t_ratio = temperature / spec.brightness_ref
+        t2 = t_ratio * t_ratio
+        intensity = t2 * t2
+        weight = transparency * light_attenuation * spec.scattering * density * d_s
+        emit_f = jnp.where(live_emit, 1.0, 0.0)
+        wscale = weight * intensity * emit_f
+        acc_x = acc[2] + wscale * lx
+        acc_y = acc[3] + wscale * ly
+        acc_z = acc[4] + wscale * lz
+
+        alpha_w = jnp.where(live_emit, density * d_s, 0.0)
+        a_w_sum = acc[5] + jnp.clip(lalpha, 0.0, 1.0) * alpha_w
+        a_w_tot = acc[6] + alpha_w
+
+        done = jnp.where((acc[7] > 0.5) | (d_o_new >= exit_d), 1.0, 0.0)
+        d_o_keep = jnp.where(live, d_o_new, d_o)
+        acc_new = jnp.stack(
+            [d_o_keep, transparency, acc_x, acc_y, acc_z, a_w_sum, a_w_tot, done],
+            axis=0,
+        )
+        return (acc_new, i + 1)
+
+    acc_f, _ = jax.lax.while_loop(cond, body, carry0)
+    physical_opacity = 1.0 - acc_f[1]
+    tot = acc_f[6]
+    texture_alpha = jnp.where(tot > 0.0, acc_f[5] / jnp.where(tot > 0.0, tot, 1.0), 1.0)
+    alpha = physical_opacity * texture_alpha
+    out = jnp.concatenate(
+        [acc_f[2][None], acc_f[3][None], acc_f[4][None], alpha[None], jnp.zeros((4, t), dtype)],
+        axis=0,
+    )
+    out_ref[:, :] = out
+
+
+def raymarch(spec: VolSpec, ro, rd, obs_e, p_t, p_phi, active, exit_d, interpret=False):
+    """March [N] lanes (N multiple of LANE_TILE). ro/rd: [N, 3]; the rest
+    [N]. Returns XYZA [N, 4]. exit_d must already be masked to 0 on inactive
+    lanes (the driver computes it with the lax exit_distance — identical
+    math, one batched call)."""
+    n = ro.shape[0]
+    assert n % LANE_TILE == 0, f"N must be a multiple of {LANE_TILE}"
+    dtype = ro.dtype
+
+    data = jnp.concatenate(
+        [
+            ro.T,
+            rd.T,
+            obs_e[None],
+            p_t[None],
+            p_phi[None],
+            exit_d[None],
+            active.astype(dtype)[None],
+            jnp.zeros((IN_ROWS - 11, n), dtype),
+        ],
+        axis=0,
+    )
+
+    grid = (n // LANE_TILE,)
+    lane_spec = lambda rows: pl.BlockSpec(
+        (rows, LANE_TILE), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    kernel = functools.partial(_march_kernel, spec=spec)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[lane_spec(IN_ROWS)],
+        out_specs=[lane_spec(OUT_ROWS)],
+        out_shape=[jax.ShapeDtypeStruct((OUT_ROWS, n), dtype)],
+        interpret=interpret,
+    )(data)[0]
+    return out[:4].T

@@ -35,26 +35,31 @@ def initialize(coordinator_address=None, num_processes=None, process_id=None):
     return jax.process_count(), jax.process_index()
 
 
-def render_frame_sharded(scene, rows: int, cols: int, mesh=None, chunk_rows: int = 0):
-    """Render a full frame with the ray grid sharded over the mesh.
+def render_frame_sharded(
+    scene, rows: int, cols: int, mesh=None, chunk_size: int = 65536, adaptive: bool = True
+):
+    """Render a full frame with the ray grid sharded over the mesh, through
+    the SAME driver as the single-chip CLI (raytracer.render_section with a
+    mesh): Pallas fast path via shard_map, requeue compaction, volumetric
+    split, overflow re-trace, and the adaptive supersampling pass all run
+    sharded. Returns (color [rows, cols, 4], ray_class [rows, cols]).
 
-    Returns the [rows, cols, 4] frame on every host (all-gather via the
-    replicated output sharding). For host-local assembly (huge frames),
-    slice addressable_shards on the sharded color instead.
+    Multi-host note: render_section assembles the full frame on the calling
+    host; on a pod slice each process renders its own row section
+    (render_section(from_row=..., to_row=...)) and writes its rows, the
+    reference's external-stitching pattern (cli/cli.rs:66-73) made
+    collective-free.
     """
-    from gr_raytracer_tpu.rendering import camera as cam
+    from gr_raytracer_tpu.rendering import raytracer as rt
 
     if mesh is None:
         mesh = pmesh.ray_mesh()
-    tracer = pmesh.make_sharded_tracer(scene, mesh)
-    dtype = scene.camera.position.dtype
-    rr, cc = jnp.meshgrid(
-        jnp.arange(rows, dtype=dtype), jnp.arange(cols, dtype=dtype), indexing="ij"
+    if not adaptive and scene.adaptive.enabled:
+        scene = scene.replace(adaptive=rt.scn.AdaptiveSamplingConfig(enabled=False))
+    out = rt.render_section(
+        scene, to_row=rows, to_col=cols, chunk_size=chunk_size, mesh=mesh
     )
-    x, p = cam.pixel_rays(scene.camera, rr.ravel(), cc.ravel())
-    xs, ps, n_valid = pmesh.shard_rays(mesh, x, p)
-    color = tracer(scene, xs, ps)
-    return np.asarray(jax.device_get(color))[:n_valid].reshape(rows, cols, 4)
+    return out.color, out.ray_class
 
 
 def measure_scaling(scene, rows: int, cols: int, device_counts, repeats: int = 2):

@@ -82,8 +82,13 @@ def build_kerr_flagship(
     temp_model = build_disc_temperature(
         params["radius"], params["a"], params["disc_temperature"], params["disc_outer"], dtype
     )
+    # Disc intersection uses Cartesian (Kerr-Schild) distance while the
+    # temperature model uses the BL-type radius; the minimum Cartesian inner
+    # radius that keeps every sample at or above r_isco is sqrt(isco² + a²)
+    # (the reference's kerr.toml choice and its BelowRISCO error message,
+    # temperature.rs:204-217).
     disc = Disc(
-        inner_radius=temp_model.r_isco * params["disc_inner"],
+        inner_radius=jnp.sqrt(temp_model.r_isco**2 + params["a"] ** 2) * params["disc_inner"],
         outer_radius=params["disc_outer"],
         temperature_model=temp_model,
         texture=BlackBodyMap.create(jnp.asarray(3.0, dtype), dtype=dtype),

@@ -66,23 +66,42 @@ def scene_discs(scene) -> tuple:
     return tuple(discs), tuple(spheres)
 
 
-def make_fast_tracer(concrete_scene):
-    """jitted (scene, row_f, col_f) -> (color, ray_class) with the disc
-    bounds baked static from the concrete scene (kernel requirement); the
-    rest of the scene stays traced so parameter sweeps reuse the compile."""
+def make_fast_tracer(concrete_scene, mesh=None):
+    """jitted (scene, row_f, col_f) -> (color, ray_class, stop, overflow)
+    with the disc bounds baked static from the concrete scene (kernel
+    requirement); the rest of the scene stays traced so parameter sweeps
+    reuse the compile.
+
+    With `mesh`, the tracer is shard_map-ed over the 1-D ray mesh — rays are
+    independent, so each device marches its shard through the same kernel
+    with zero collectives (pallas_call has no GSPMD partitioning rule, so
+    sharding must be explicit). row/col batches must divide by the mesh."""
     import jax
 
     from gr_raytracer_tpu.rendering import camera as cam
 
     discs = scene_discs(concrete_scene)
 
-    @jax.jit
-    def fn(scene, row_f, col_f):
+    def body(scene, row_f, col_f):
         x, p = cam.pixel_rays(scene.camera, row_f, col_f)
         s = trace_rays_fast(scene, x, p, discs=discs)
-        return s.color, s.ray_class
+        return s.color, s.ray_class, s.stop_code, s.ev_overflow
 
-    return fn
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        from gr_raytracer_tpu.parallel import mesh as pmesh
+
+        axis = mesh.axis_names[0]
+        scene_specs = jax.tree.map(lambda _: P(), concrete_scene)
+        body = pmesh.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(scene_specs, P(axis), P(axis)),
+            out_specs=(P(axis), P(axis), P(axis), P(axis)),
+        )
+
+    return jax.jit(body)
 
 
 def trace_rays_fast(scene, positions, momenta, interpret: bool = False, discs=None):
@@ -148,7 +167,7 @@ def trace_rays_fast(scene, positions, momenta, interpret: bool = False, discs=No
     # identical color error at h0 = 1.0 vs 0.25).
     if isinstance(march_geometry, KerrBL):
         # Mino-time: far-field spatial step ≈ h0·r_ref² = 1.0 at h0 = 0.01.
-        y_f, stop, steps, ev_kind, ev_data, ev_count = gp.kerr_bl_rk4_march(
+        y_f, stop, steps, ev_kind, ev_data, ev_count, ev_overflow = gp.kerr_bl_rk4_march(
             march_geometry.radius,
             march_geometry.a,
             march_geometry.horizon_epsilon,
@@ -163,7 +182,7 @@ def trace_rays_fast(scene, positions, momenta, interpret: bool = False, discs=No
             interpret=interpret,
         )
     else:
-        y_f, stop, steps, ev_kind, ev_data, ev_count = gp.kerr_rk4_march(
+        y_f, stop, steps, ev_kind, ev_data, ev_count, ev_overflow = gp.kerr_rk4_march(
             march_geometry.radius,
             march_geometry.a,
             march_geometry.horizon_epsilon,
@@ -184,20 +203,21 @@ def trace_rays_fast(scene, positions, momenta, interpret: bool = False, discs=No
         ev_kind=ev_kind,
         ev_data=ev_data,
         ev_count=ev_count,
-        ev_overflow=ev_count >= gp.MAX_EVENTS,
+        ev_overflow=ev_overflow,
         kk_drift=jnp.zeros((y_f.shape[0],), y_f.dtype),
         const_drift=jnp.zeros((y_f.shape[0], 0), y_f.dtype),
         h=jnp.zeros((y_f.shape[0],), y_f.dtype),
         retries=jnp.zeros((y_f.shape[0],), jnp.int32),
     )
-    colors = scn._shade_events(scene, freq, res)
+    colors, shade_fail = scn._shade_events(scene, freq, res)
+    stop_shaded = jnp.where(shade_fail, integ.STEP_FAILED, res.stop_code)
     celestial = scn._celestial_color(scene, freq, solver, res)
-    color, ray_class = scn.fold_samples(scene, res.ev_kind, colors, res.stop_code, celestial)
+    color, ray_class = scn.fold_samples(scene, res.ev_kind, colors, stop_shaded, celestial)
     # Undo the cost sort before slicing off the padding.
     return scn.RaySamples(
         color=color[inverse][:n],
         ray_class=ray_class[inverse][:n],
-        stop_code=res.stop_code[inverse][:n],
+        stop_code=stop_shaded[inverse][:n],
         steps=res.steps[inverse][:n],
         ev_overflow=res.ev_overflow[inverse][:n],
         kk_drift=res.kk_drift[inverse][:n],

@@ -123,7 +123,7 @@ def collect_supersample_mask(cfg, luminance, alpha, ray_class, minimum_luminance
 def _trace_chunk(scene, row_f, col_f):
     x, p = cam.pixel_rays(scene.camera, row_f, col_f)
     s = scn.trace_rays(scene, x, p)
-    return s.color, s.ray_class
+    return s.color, s.ray_class, s.stop_code, s.ev_overflow
 
 
 # ---------------------------------------------------------------------------
@@ -157,7 +157,7 @@ def _phase_start(scene, row_f, col_f, attempts):
         solver,
         scene.integration,
         y0,
-        scn._segment_fn(scene, freq),
+        scn._segment_fn(scene),
         scn.EVENT_WIDTH,
         attempts_budget=attempts,
         finalize=False,
@@ -172,7 +172,7 @@ def _phase_continue(scene, solver, res, attempts):
         solver,
         scene.integration,
         res.y,
-        scn._segment_fn(scene, None),
+        scn._segment_fn(scene),
         scn.EVENT_WIDTH,
         resume=res,
         attempts_budget=attempts,
@@ -184,10 +184,11 @@ def _phase_continue(scene, solver, res, attempts):
 def _phase_finish(scene, solver, freq, res):
     stop = jnp.where(res.stop_code == scn.integ.RUNNING, scn.integ.BUDGET, res.stop_code)
     res = res._replace(stop_code=stop)
-    colors = scn._shade_events(scene, freq, res)
+    colors, shade_fail = scn._shade_events(scene, freq, res)
+    stop = jnp.where(shade_fail, scn.integ.STEP_FAILED, stop)
     celestial = scn._celestial_color(scene, freq, solver, res)
     color, klass = scn.fold_samples(scene, res.ev_kind, colors, stop, celestial)
-    return color, klass
+    return color, klass, stop, res.ev_overflow
 
 
 def _gather_ray_tree(tree, idx, n):
@@ -217,7 +218,7 @@ def _scatter_res(res, sub, idx):
     return jax.tree.map(lambda a, b: a.at[idx].set(b), res, sub)
 
 
-def _trace_chunk_requeued(scene, rf, cf):
+def _trace_chunk_requeued(scene, rf, cf, put=jnp.asarray):
     """Chunk trace with phased integration + active-lane compaction.
 
     Everything heavy (state + event buffers) stays device-resident; the only
@@ -228,7 +229,7 @@ def _trace_chunk_requeued(scene, rf, cf):
     max_attempts = cfg.max_steps + cfg.extra_attempts
     phase = min(PHASE_ATTEMPTS, max_attempts)
 
-    solver, freq, res = _phase_start(scene, jnp.asarray(rf), jnp.asarray(cf), attempts=phase)
+    solver, freq, res = _phase_start(scene, put(rf), put(cf), attempts=phase)
     spent = phase
 
     while spent < max_attempts:
@@ -246,24 +247,24 @@ def _trace_chunk_requeued(scene, rf, cf):
         res = _scatter_res(res, sub_out, idx)
         spent += phase
 
-    color, klass = _phase_finish(scene, solver, freq, res)
-    return jax.device_get((color, klass))
+    color, klass, stop, overflow = _phase_finish(scene, solver, freq, res)
+    return jax.device_get((color, klass, stop, overflow))
 
 
 _fast_tracers: dict = {}
 
 
-def _trace_chunk_fast(scene, row_f, col_f):
+def _trace_chunk_fast(scene, row_f, col_f, mesh=None):
     """Pallas fast path with a per-scene-identity tracer cache (the disc
     bounds are baked static; everything else stays traced)."""
     from gr_raytracer_tpu.rendering import fast_path
 
-    key = id(scene)
+    key = (id(scene), id(mesh))
     fn = _fast_tracers.get(key)
     if fn is None:
         if len(_fast_tracers) > 8:
             _fast_tracers.clear()
-        fn = _fast_tracers[key] = fast_path.make_fast_tracer(scene)
+        fn = _fast_tracers[key] = fast_path.make_fast_tracer(scene, mesh=mesh)
     return fn(scene, row_f, col_f)
 
 
@@ -296,17 +297,49 @@ def _raymarch_compact(obj, geometry, ro, rd, obs, p_t, p_phi, active):
 
 VOLUMETRIC_LANE_CHUNK = 4096
 
+_vol_specs: dict = {}
+_vol_kernels: dict = {}
+
+
+def _vol_kernel_fn(obj, geometry):
+    """Cached (spec, jitted kernel) for a concrete volumetric object, or
+    (None, None) when the Pallas raymarch doesn't cover it. The Chebyshev
+    fits are built once per object identity."""
+    import os
+
+    from gr_raytracer_tpu.ops import volumetric_pallas as vp
+
+    if (
+        os.environ.get("GR_FAST_PATH", "1") == "0"
+        or jax.default_backend() != "tpu"
+        or not vp.supports(obj, geometry)
+    ):
+        return None, None
+    key = id(obj)
+    if key not in _vol_specs:
+        if len(_vol_specs) > 8:
+            _vol_specs.clear()
+            _vol_kernels.clear()
+        spec = vp.build_vol_spec(obj, geometry)
+        _vol_specs[key] = spec
+        # Closure (not partial-as-arg): the spec is a static Python constant
+        # baked into the trace, exactly like the geodesic kernel's discs.
+        _vol_kernels[key] = jax.jit(
+            lambda ro, rd, o, pt, pp, act, ed, _s=spec: vp.raymarch(_s, ro, rd, o, pt, pp, act, ed)
+        )
+    return _vol_specs[key], _vol_kernels[key]
+
 
 def _has_volumetric(scene) -> bool:
     return any(hasattr(o, "raymarch") for o in scene.objects)
 
 
-def _trace_chunk_split(scene, rf, cf, vol_chunk: int = VOLUMETRIC_LANE_CHUNK):
+def _trace_chunk_split(scene, rf, cf, vol_chunk: int = VOLUMETRIC_LANE_CHUNK, put=jnp.asarray):
     """Volumetric split path: geometric pass on device, host-side compaction
     of the (sparse) volumetric event lanes, padded compact raymarch batches,
     then the exact fold. Marching only hit lanes instead of all N·K slots is
     a 10-100× saving (most rays never enter the disc)."""
-    geo = jax.device_get(_trace_chunk_geo(scene, jnp.asarray(rf), jnp.asarray(cf)))
+    geo = jax.device_get(_trace_chunk_geo(scene, put(rf), put(cf)))
     ev_colors = np.array(geo.surface_colors)
     for idx, obj in enumerate(scene.objects):
         if not hasattr(obj, "raymarch"):
@@ -321,13 +354,18 @@ def _trace_chunk_split(scene, rf, cf, vol_chunk: int = VOLUMETRIC_LANE_CHUNK):
         # Each raymarch batch runs until its slowest lane exits; sort lanes
         # by their precomputed exit distance so grazers (full-slab marches)
         # share batches instead of pacing every batch.
-        ed = np.asarray(jax.device_get(obj.exit_distance(jnp.asarray(ro_all), jnp.asarray(rd_all))))
+        ed = np.asarray(jax.device_get(obj.exit_distance(put(ro_all), put(rd_all))))
         lane_order = np.argsort(ed)
         nn, kk = nn[lane_order], kk[lane_order]
-        ro_all, rd_all = ro_all[lane_order], rd_all[lane_order]
+        ro_all, rd_all, ed = ro_all[lane_order], rd_all[lane_order], ed[lane_order]
         obs_all = geo.observer_energy[nn]
         pt_all = geo.p_t[nn]
         pphi_all = geo.p_phi[nn]
+        # Pallas VMEM-resident raymarch when the object/geometry qualifies
+        # (ops/volumetric_pallas.py); only on an unsharded driver — the
+        # kernel has no GSPMD partitioning rule (the sharded path goes
+        # through the lax raymarch, which partitions trivially).
+        _, kernel = (None, None) if put is not jnp.asarray else _vol_kernel_fn(obj, scene.geometry)
         for start in range(0, nn.size, vol_chunk):
             end = min(start + vol_chunk, nn.size)
             m = end - start
@@ -336,18 +374,31 @@ def _trace_chunk_split(scene, rf, cf, vol_chunk: int = VOLUMETRIC_LANE_CHUNK):
             )
             active = np.zeros((vol_chunk,), bool)
             active[:m] = True
-            out = jax.device_get(
-                _raymarch_compact(
-                    obj,
-                    scene.geometry,
-                    jnp.asarray(pad(ro_all)),
-                    jnp.asarray(pad(rd_all)),
-                    jnp.asarray(pad(obs_all)),
-                    jnp.asarray(pad(pt_all)),
-                    jnp.asarray(pad(pphi_all)),
-                    jnp.asarray(active),
+            if kernel is not None:
+                out = jax.device_get(
+                    kernel(
+                        put(pad(ro_all)),
+                        put(pad(rd_all)),
+                        put(pad(obs_all)),
+                        put(pad(pt_all)),
+                        put(pad(pphi_all)),
+                        put(active),
+                        put(np.where(active, pad(ed), 0.0)),
+                    )
                 )
-            )
+            else:
+                out = jax.device_get(
+                    _raymarch_compact(
+                        obj,
+                        scene.geometry,
+                        put(pad(ro_all)),
+                        put(pad(rd_all)),
+                        put(pad(obs_all)),
+                        put(pad(pt_all)),
+                        put(pad(pphi_all)),
+                        put(active),
+                    )
+                )
             ev_colors[nn[start:end], kk[start:end]] = out[:m]
     color, klass = scn.fold_samples(
         scene,
@@ -356,16 +407,77 @@ def _trace_chunk_split(scene, rf, cf, vol_chunk: int = VOLUMETRIC_LANE_CHUNK):
         jnp.asarray(geo.stop_code),
         jnp.asarray(geo.celestial),
     )
-    return np.asarray(color), np.asarray(klass)
+    return np.asarray(color), np.asarray(klass), np.asarray(geo.stop_code), np.asarray(geo.ev_overflow)
 
 
-def trace_pixels_chunked(scene, row_f, col_f, chunk_size: int, progress: bool = False):
+# Event capacity for the overflow re-trace (reference event recording is
+# unbounded, scene.rs:141-152; 32 covers any physically sensible crossing
+# count — beyond that the lane keeps its truncated fold and is logged).
+OVERFLOW_MAX_EVENTS = 32
+OVERFLOW_BUCKET = 256
+
+
+@jax.jit
+def _retrace_chunk(scene, row_f, col_f):
+    """Lax-path re-trace for event-buffer-overflow lanes (scene carries the
+    boosted max_events; a distinct static config → its own cached compile)."""
+    x, p = cam.pixel_rays(scene.camera, row_f, col_f)
+    s = scn.trace_rays(scene, x, p)
+    return s.color, s.ray_class, s.stop_code, s.ev_overflow
+
+
+def _retrace_overflow(scene, rf, cf, idx, colors_c, classes_c, stop_c):
+    """Re-trace the (rare) lanes whose K-slot event buffer dropped crossings
+    — photon-ring grazers produce higher-order disc images beyond the buffer
+    cap; the reference records every crossing (scene.rs:141-152). Lanes are
+    compacted into a fixed-size bucket and run through the lax path with a
+    4× event capacity."""
+    hi = scene.replace(integration=scene.integration.replace(max_events=OVERFLOW_MAX_EVENTS))
+    bucket = OVERFLOW_BUCKET
+    while bucket < idx.size:
+        bucket *= 2
+    pad_idx = np.concatenate([idx, np.full(bucket - idx.size, idx[0], idx.dtype)])
+    c, k, s, ovf = jax.device_get(
+        _retrace_chunk(hi, jnp.asarray(rf[pad_idx]), jnp.asarray(cf[pad_idx]))
+    )
+    colors_c[idx] = c[: idx.size]
+    classes_c[idx] = k[: idx.size]
+    stop_c[idx] = s[: idx.size]
+    if np.asarray(ovf[: idx.size]).any():
+        print(
+            f"[raytracer] {int(np.asarray(ovf[:idx.size]).sum())} lanes still "
+            f"overflow {OVERFLOW_MAX_EVENTS} events after re-trace",
+            file=sys.stderr,
+        )
+
+
+def trace_pixels_chunked(
+    scene, row_f, col_f, chunk_size: int, progress: bool = False, mesh=None
+):
     """Trace arbitrary (fractional) pixel coords in fixed-size chunks.
-    Returns (color [N, 4], ray_class [N]) as numpy arrays."""
+    Returns (color [N, 4], ray_class [N], ok [N]) as numpy arrays; ok=False
+    marks failed rays (controller retry overflow or shading error) that the
+    reference would exclude from supersample averages (raytracer.rs:355-380).
+
+    With `mesh` (a 1-D device mesh), every chunk is sharded over the mesh and
+    ALL dispatch paths run multi-device: the lax/requeue/split paths are
+    GSPMD-partitioned (rays are a pure batch axis, so partitioning inserts
+    zero collectives), the Pallas fast path goes through an explicit
+    shard_map (parallel/mesh.py). This is the single driver the single-chip
+    CLI and the pod-slice renderer share (SURVEY.md §2.5)."""
     n = row_f.shape[0]
     dtype = np.float32 if scene.camera.position.dtype == jnp.float32 else np.float64
+    put = jnp.asarray
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_dev = mesh.devices.size
+        chunk_size = max(chunk_size // n_dev, 1) * n_dev
+        sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
+        put = lambda a: jax.device_put(jnp.asarray(a), sharding)
     colors = np.zeros((n, 4), dtype)
     classes = np.zeros((n,), np.int32)
+    ok_all = np.ones((n,), bool)
     split = _has_volumetric(scene)
     fast = not split and _use_fast_path(scene)
     # Requeue compaction pays when the budget dwarfs a phase (its savings
@@ -376,20 +488,29 @@ def trace_pixels_chunked(scene, row_f, col_f, chunk_size: int, progress: bool = 
     t_start = time.time()
     for start in range(0, n, chunk_size):
         end = min(start + chunk_size, n)
+        m = end - start
         rf = np.full((chunk_size,), row_f[0], dtype)
         cf = np.full((chunk_size,), col_f[0], dtype)
-        rf[: end - start] = row_f[start:end]
-        cf[: end - start] = col_f[start:end]
+        rf[:m] = row_f[start:end]
+        cf[:m] = col_f[start:end]
         if split:
-            c, k = _trace_chunk_split(scene, rf, cf)
+            c, k, stop, ovf = _trace_chunk_split(scene, rf, cf, put=put)
         elif fast:
-            c, k = jax.device_get(_trace_chunk_fast(scene, jnp.asarray(rf), jnp.asarray(cf)))
+            c, k, stop, ovf = jax.device_get(
+                _trace_chunk_fast(scene, put(rf), put(cf), mesh=mesh)
+            )
         elif requeue:
-            c, k = _trace_chunk_requeued(scene, rf, cf)
+            c, k, stop, ovf = _trace_chunk_requeued(scene, rf, cf, put=put)
         else:
-            c, k = jax.device_get(_trace_chunk(scene, jnp.asarray(rf), jnp.asarray(cf)))
-        colors[start:end] = c[: end - start]
-        classes[start:end] = k[: end - start]
+            c, k, stop, ovf = jax.device_get(_trace_chunk(scene, put(rf), put(cf)))
+        c, k = np.array(c), np.array(k)
+        stop, ovf = np.array(stop), np.array(ovf)
+        ovf_idx = np.nonzero(ovf[:m])[0]
+        if ovf_idx.size:
+            _retrace_overflow(scene, rf, cf, ovf_idx, c, k, stop)
+        colors[start:end] = c[:m]
+        classes[start:end] = k[:m]
+        ok_all[start:end] = stop[:m] != scn.integ.STEP_FAILED
         if progress:
             done = end
             rate = done / max(time.time() - t_start, 1e-9)
@@ -401,7 +522,7 @@ def trace_pixels_chunked(scene, row_f, col_f, chunk_size: int, progress: bool = 
             )
     if progress:
         print(file=sys.stderr)
-    return colors, classes
+    return colors, classes, ok_all
 
 
 # ---------------------------------------------------------------------------
@@ -424,6 +545,7 @@ def render_section(
     chunk_size: int = 65536,
     sampling_mask_color: Optional[tuple] = None,
     progress: bool = False,
+    mesh=None,
 ) -> RenderOutput:
     """Render a section [from_row, to_row) × [from_col, to_col) of the camera
     grid, with the scene's adaptive supersampling (raytracer.rs:460-497).
@@ -440,11 +562,14 @@ def render_section(
         np.arange(from_col, to_col, dtype=np.float64),
         indexing="ij",
     )
-    colors, classes = trace_pixels_chunked(
-        scene, rr.ravel(), cc.ravel(), chunk_size, progress
+    colors, classes, _ = trace_pixels_chunked(
+        scene, rr.ravel(), cc.ravel(), chunk_size, progress, mesh=mesh
     )
     colors = colors.reshape(h, w, 4)
     classes = classes.reshape(h, w)
+
+    if scene.save_ray_data:
+        _save_ray_data_csvs(scene, rr.ravel(), cc.ravel())
 
     cfg = scene.adaptive
     if not (cfg.enabled or sampling_mask_color is not None):
@@ -471,10 +596,54 @@ def render_section(
         # get_ray_for_offset: row + (dy − ½), col + (dx − ½) (camera.rs:247-254)
         row_f = (abs_r[:, None] + (dy - 0.5)).ravel()
         col_f = (abs_c[:, None] + (dx - 0.5)).ravel()
-        sub_colors, _ = trace_pixels_chunked(scene, row_f, col_f, chunk_size, progress)
-        averaged = sub_colors.reshape(-1, n_spp, 4).mean(axis=1)
-        colors[sel_r, sel_c] = averaged
+        sub_colors, _, sub_ok = trace_pixels_chunked(
+            scene, row_f, col_f, chunk_size, progress, mesh=mesh
+        )
+        # Average over SUCCESSFUL samples only — a failed sub-ray must not
+        # drag the pixel toward black; all-failed keeps the 1-spp base color
+        # (raytracer.rs:355-380).
+        ok = sub_ok.reshape(-1, n_spp)
+        n_ok = ok.sum(axis=1)
+        sums = (sub_colors.reshape(-1, n_spp, 4) * ok[..., None]).sum(axis=1)
+        averaged = sums / np.maximum(n_ok, 1)[:, None]
+        use = n_ok > 0
+        colors[sel_r[use], sel_c[use]] = averaged[use]
     return RenderOutput(colors, classes, mask)
+
+
+def _save_ray_data_csvs(scene, row_f, col_f):
+    """scene.save_ray_data debug flag: write ray-{row}-{col}.csv for every
+    traced pixel (scene.rs:128-133; CSV schema ray.rs:35-54). The reference
+    writes inside color_of_ray per ray; here the trajectories are recorded in
+    one batched scan after the render pass — same files, same content."""
+    import jax.numpy as jnp
+
+    from gr_raytracer_tpu.cli import _save_trajectory_csv
+    from gr_raytracer_tpu.rendering import integrator as integ
+
+    geometry = scene.geometry
+    dtype = scene.camera.position.dtype
+    rows = jnp.asarray(row_f, dtype)
+    cols = jnp.asarray(col_f, dtype)
+    x, p = cam.pixel_rays(scene.camera, rows, cols)
+    solver = geometry.make_solver(x, p)
+    y0 = solver.initial_state(x, p)
+    states, affine, valid, _ = integ.integrate_trajectory(
+        geometry, solver, scene.integration, y0, max_record=scene.integration.max_steps
+    )
+    states = np.asarray(states)  # [S, N, 8]
+    affine = np.asarray(affine)
+    valid = np.asarray(valid)
+    for i in range(states.shape[1]):
+        v = valid[:, i]
+        _save_trajectory_csv(
+            f"ray-{int(row_f[i])}-{int(col_f[i])}.csv",
+            states[v, i],
+            affine[v, i],
+            np.ones(int(v.sum()), bool),
+            solver.chart,
+            geometry.spin,
+        )
 
 
 # ---------------------------------------------------------------------------

@@ -70,6 +70,9 @@ class Scene(struct.PyTreeNode):
     adaptive: AdaptiveSamplingConfig = struct.field(
         pytree_node=False, default=AdaptiveSamplingConfig()
     )
+    # Debug flag (scene.rs:38,128-133): write ray-{row}-{col}.csv for every
+    # traced pixel. Hard-coded false in the reference CLI; programmatic only.
+    save_ray_data: bool = struct.field(pytree_node=False, default=False)
 
 
 class RaySamples(NamedTuple):
@@ -82,7 +85,7 @@ class RaySamples(NamedTuple):
     const_drift: jnp.ndarray
 
 
-def _segment_fn(scene, freq):
+def _segment_fn(scene):
     """Build the in-loop nearest-hit segment test over all scene objects
     (reference: objects.rs:65-120 picks the nearest hit per step window)."""
     objects = scene.objects
@@ -122,7 +125,15 @@ def _segment_fn(scene, freq):
 
 
 def _shade_events(scene, freq, res, include_volumetric=True):
-    """Deferred shading of the [N, K] event buffer -> colors [N, K, 4].
+    """Deferred shading of the [N, K] event buffer -> colors [N, K, 4],
+    plus a per-ray shade-failure flag [N].
+
+    A shade failure reproduces the reference's per-pixel error path: a thin
+    disc sampled below r_isco with a Novikov-Thorne temperature model raises
+    BelowRISCO (temperature.rs:204-217), which aborts color_of_ray — the
+    pixel keeps its default sample and is excluded from supersample averages
+    (raytracer.rs:355-380). Callers map the flag to the STEP_FAILED stop
+    code, which fold_samples already renders as the default sample.
 
     With include_volumetric=False, volumetric slots are left at zero — the
     render driver raymarches them separately on a *compacted* lane set (most
@@ -145,6 +156,7 @@ def _shade_events(scene, freq, res, include_volumetric=True):
 
     obs_e = freq.observer_energy[:, None]
     colors = jnp.zeros((n, k, 4), dtype)
+    shade_fail = jnp.zeros((n,), bool)
     for idx, obj in enumerate(scene.objects):
         mask = res.ev_kind == idx
         if hasattr(obj, "raymarch"):  # volumetric: shaded by its own pass
@@ -162,8 +174,11 @@ def _shade_events(scene, freq, res, include_volumetric=True):
             redshift = jnp.where(live, obs_e / safe_e, 1.0)
             temp = obj.temperature_at(geometry, point_cart4)
             c = obj.texture.color_at_uv(uv[..., 0], uv[..., 1], temp, redshift)
+            if hasattr(obj, "temperature_fail"):
+                ev_fail = obj.temperature_fail(geometry, point_cart4) & mask & valid
+                shade_fail = shade_fail | jnp.any(ev_fail, axis=-1)
         colors = jnp.where(mask[..., None], c, colors)
-    return jnp.where(valid[..., None], colors, jnp.zeros_like(colors))
+    return jnp.where(valid[..., None], colors, jnp.zeros_like(colors)), shade_fail
 
 
 def _celestial_color(scene, freq, solver, res):
@@ -255,6 +270,7 @@ class GeoTrace(NamedTuple):
     observer_energy: jnp.ndarray  # [N]
     p_t: jnp.ndarray  # [N]
     p_phi: jnp.ndarray  # [N]
+    ev_overflow: jnp.ndarray  # [N] bool — events dropped (buffer full)
 
 
 def trace_geometric(scene, positions, momenta) -> GeoTrace:
@@ -265,19 +281,21 @@ def trace_geometric(scene, positions, momenta) -> GeoTrace:
     y0 = solver.initial_state(positions, momenta)
     freq = ray_frequency_data(geometry, positions, momenta, scene.camera.velocity)
     res = integ.integrate_rays(
-        geometry, solver, scene.integration, y0, _segment_fn(scene, freq), EVENT_WIDTH
+        geometry, solver, scene.integration, y0, _segment_fn(scene), EVENT_WIDTH
     )
-    colors = _shade_events(scene, freq, res, include_volumetric=False)
+    colors, shade_fail = _shade_events(scene, freq, res, include_volumetric=False)
+    stop = jnp.where(shade_fail, integ.STEP_FAILED, res.stop_code)
     celestial = _celestial_color(scene, freq, solver, res)
     return GeoTrace(
         surface_colors=colors,
         celestial=celestial,
         ev_kind=res.ev_kind,
         ev_data=res.ev_data,
-        stop_code=res.stop_code,
+        stop_code=stop,
         observer_energy=freq.observer_energy,
         p_t=freq.p_t,
         p_phi=freq.p_phi,
+        ev_overflow=res.ev_overflow,
     )
 
 
@@ -299,18 +317,19 @@ def trace_rays(scene, positions, momenta):
         solver,
         scene.integration,
         y0,
-        _segment_fn(scene, freq),
+        _segment_fn(scene),
         EVENT_WIDTH,
     )
 
-    colors = _shade_events(scene, freq, res)  # [N, K, 4]
+    colors, shade_fail = _shade_events(scene, freq, res)  # [N, K, 4], [N]
+    stop = jnp.where(shade_fail, integ.STEP_FAILED, res.stop_code)
     celestial = _celestial_color(scene, freq, solver, res)  # [N, 4]
-    color, ray_class = fold_samples(scene, res.ev_kind, colors, res.stop_code, celestial)
+    color, ray_class = fold_samples(scene, res.ev_kind, colors, stop, celestial)
 
     return RaySamples(
         color=color,
         ray_class=ray_class,
-        stop_code=res.stop_code,
+        stop_code=stop,
         steps=res.steps,
         ev_overflow=res.ev_overflow,
         kk_drift=res.kk_drift,

@@ -51,7 +51,14 @@ class TemperatureLUT(struct.PyTreeNode):
         return uniform_interp(r, self.radii[0], dx, self.temps)
 
     def below_isco(self, r):
-        return r < self.r_isco
+        """Reference semantics: radius < r_isco is a per-pixel error
+        (temperature.rs:204-217). A dtype-relative tolerance absorbs the
+        rounding between the hit test's Cartesian radius and this BL-type
+        radius for discs whose inner edge sits exactly at the boundary
+        (e.g. kerr.toml's inner_radius = sqrt(isco²+a²)); the reference
+        compares exactly but computes everything in f64."""
+        tol = 64.0 * jnp.finfo(jnp.asarray(r).dtype).eps
+        return r < self.r_isco * (1.0 - tol)
 
 
 def _e_omega_l(r_s, a, r):

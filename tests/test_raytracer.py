@@ -202,7 +202,7 @@ def test_requeued_chunk_matches_direct_trace():
     old = rt.PHASE_ATTEMPTS
     rt.PHASE_ATTEMPTS = 256
     try:
-        c_req, k_req = rt._trace_chunk_requeued(scene, rf, cf)
+        c_req, k_req, _, _ = rt._trace_chunk_requeued(scene, rf, cf)
     finally:
         rt.PHASE_ATTEMPTS = old
 
@@ -211,3 +211,145 @@ def test_requeued_chunk_matches_direct_trace():
     np.testing.assert_array_equal(np.asarray(ref.ray_class), k_req)
     # Identical steps/events; only fusion-order roundoff differs.
     np.testing.assert_allclose(np.asarray(ref.color), c_req, rtol=1e-10, atol=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# Round-2 fidelity: event overflow, below-ISCO failure, AA success filter,
+# save_ray_data (VERDICT r1 items 5, 8)
+# ---------------------------------------------------------------------------
+
+
+def _ring_scene(max_events=8, max_steps=4000, disc_inner=1.5):
+    """Flagship-style Kerr scene (Novikov-Thorne blackbody disc)."""
+    from gr_raytracer_tpu import presets
+
+    params = presets.kerr_flagship_params(jnp.float64)
+    params["disc_outer"] = jnp.asarray(6.0, jnp.float64)
+    scene = presets.build_kerr_flagship(
+        params, 32, 64, max_steps=max_steps, max_radius=25.0, step_size=0.05
+    )
+    return scene.replace(
+        integration=scene.integration.replace(max_events=max_events),
+        objects=(scene.objects[0].replace(inner_radius=jnp.asarray(disc_inner, jnp.float64)),),
+    )
+
+
+def _photon_disc_scene(max_events=8, max_steps=20000):
+    """Kerr scene whose checker disc reaches INTO the photon region
+    (inner = 0.92 < r_ph in Cartesian distance), so near-critical grazers
+    cross it on every half-winding — constant-temperature, so no ISCO
+    constraint applies (the reference's Disc supports both)."""
+    from gr_raytracer_tpu import presets
+    from gr_raytracer_tpu.objects.disc import Disc
+    from gr_raytracer_tpu.rendering.temperature import ConstantTemperature
+    from gr_raytracer_tpu.rendering.texture import CheckerMap
+
+    params = presets.kerr_flagship_params(jnp.float64)
+    scene = presets.build_kerr_flagship(
+        params, 32, 64, max_steps=max_steps, max_radius=25.0, step_size=0.05
+    )
+    disc = Disc(
+        inner_radius=jnp.asarray(0.92),
+        outer_radius=jnp.asarray(6.0),
+        temperature_model=ConstantTemperature(value=jnp.asarray(0.0)),
+        texture=CheckerMap.from_srgb(0.0, 6.0, 6.0, (255, 120, 0), (120, 40, 0)),
+    )
+    return scene.replace(
+        objects=(disc,),
+        integration=scene.integration.replace(max_events=max_events),
+    )
+
+
+# Row/column band straddling the critical curve for _photon_disc_scene
+# (capture<->escape transition near col 28.75 on row 15; found by bisection).
+_RING_ROW = 15.0
+_RING_COLS = np.linspace(24.0, 32.0, 64)
+
+
+def test_photon_ring_multi_crossing_and_buffer_adequacy():
+    """A near-critical grazer crosses the equatorial disc ≥3 times (the
+    reference records every crossing unbounded, scene.rs:141-152); the
+    default 8-slot buffer must reproduce the unbounded fold (proxied by 32
+    slots) exactly — higher-order image colors included."""
+    from gr_raytracer_tpu.rendering import scene as scn2
+
+    scene = _photon_disc_scene(max_events=8)
+    rr = np.full(_RING_COLS.size, _RING_ROW)
+    x, p = cam.pixel_rays(scene.camera, jnp.asarray(rr), jnp.asarray(_RING_COLS))
+    solver = scene.geometry.make_solver(x, p)
+    y0 = solver.initial_state(x, p)
+    res = scn2.integ.integrate_rays(
+        scene.geometry, solver, scene.integration, y0, scn2._segment_fn(scene), scn2.EVENT_WIDTH
+    )
+    counts = np.asarray(res.ev_count)
+    assert counts.max() >= 3, f"expected a ≥3-crossing grazer, max={counts.max()}"
+    assert not np.asarray(res.ev_overflow).any()
+
+    s8 = scn2.trace_rays(scene, x, p)
+    s32 = scn2.trace_rays(
+        scene.replace(integration=scene.integration.replace(max_events=32)), x, p
+    )
+    multi = counts >= 3
+    np.testing.assert_allclose(
+        np.asarray(s8.color)[multi], np.asarray(s32.color)[multi], rtol=1e-12, atol=1e-12
+    )
+
+
+def test_overflow_retrace_recovers_dropped_events():
+    """With a deliberately tiny 1-slot buffer the driver must detect the
+    overflow and re-trace those lanes at full capacity: the final image
+    equals the ample-buffer render exactly."""
+    scene1 = _photon_disc_scene(max_events=1)
+    scene8 = _photon_disc_scene(max_events=8)
+    rr = np.full(_RING_COLS.size, _RING_ROW)
+    c1, k1, ok1 = rt.trace_pixels_chunked(scene1, rr, _RING_COLS, chunk_size=64)
+    c8, k8, ok8 = rt.trace_pixels_chunked(scene8, rr, _RING_COLS, chunk_size=64)
+    np.testing.assert_array_equal(k1, k8)
+    np.testing.assert_allclose(c1, c8, rtol=1e-12, atol=1e-12)
+    np.testing.assert_array_equal(ok1, ok8)
+
+
+def test_below_isco_disc_hit_fails_pixel():
+    """A disc reaching below r_isco reproduces the reference's BelowRISCO
+    per-pixel error (temperature.rs:204-217): the ray fails, renders the
+    default sample, and is excluded from supersample averages."""
+    scene = _ring_scene(disc_inner=0.7)  # < sqrt(isco²+a²) ≈ 1.24 for a=0.45
+    rr, cc = np.meshgrid(np.arange(32, dtype=np.float64), np.arange(64, dtype=np.float64), indexing="ij")
+    c, k, ok = rt.trace_pixels_chunked(scene, rr.ravel(), cc.ravel(), chunk_size=2048)
+    assert (~ok).any(), "expected some below-ISCO failures"
+    # Failed rays carry the buffer-default sample (black, Escaped).
+    np.testing.assert_allclose(
+        c[~ok], np.broadcast_to([0.0, 0.0, 0.0, 1.0], c[~ok].shape), atol=0
+    )
+    assert (k[~ok] == scn.ESCAPED).all()
+    # The healthy scene (inner at the reference's minimum) has no failures.
+    _, _, ok_healthy = rt.trace_pixels_chunked(
+        _ring_scene(disc_inner=1.5), rr.ravel()[:64], cc.ravel()[:64], chunk_size=64
+    )
+    assert ok_healthy.all()
+
+
+def test_save_ray_data_writes_per_pixel_csvs(tmp_path, monkeypatch):
+    """scene.save_ray_data → ray-{row}-{col}.csv per traced pixel
+    (scene.rs:128-133), CSV schema i,t,tau,x,y,z (ray.rs:35-54)."""
+    monkeypatch.chdir(tmp_path)
+    geometry = EuclideanSpace()
+    camera = cam.build_camera(
+        geometry,
+        jnp.asarray([0.0, 5.0, 0.0, 0.0]),
+        geometry.stationary_velocity(jnp.asarray([0.0, 5.0, 0.0, 0.0])),
+        alpha=jnp.pi / 4,
+        rows=2,
+        columns=2,
+    )
+    scene = build_test_scene(geometry, camera).replace(save_ray_data=True)
+    scene = scene.replace(integration=scene.integration.replace(max_steps=64))
+    scene = scene.replace(adaptive=make_cfg(enabled=False))
+    rt.render_section(scene, chunk_size=4)
+    for r in range(2):
+        for c in range(2):
+            path = tmp_path / f"ray-{r}-{c}.csv"
+            assert path.exists()
+            lines = path.read_text().strip().split("\n")
+            assert lines[0] == "i,t,tau,x,y,z"
+            assert len(lines) > 2
