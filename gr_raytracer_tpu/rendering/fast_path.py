@@ -167,6 +167,12 @@ def trace_rays_fast(scene, positions, momenta, interpret: bool = False, discs=No
     # identical color error at h0 = 1.0 vs 0.25).
     if isinstance(march_geometry, KerrBL):
         # Mino-time: far-field spatial step ≈ h0·r_ref² = 1.0 at h0 = 0.01.
+        # Budget 2×: the fixed Mino step is finer than RKF45's accepted
+        # steps near the hole, so the same step COUNT under-budgets the
+        # kernel — near-critical rays would misclassify as TRAPPED where
+        # the lax path resolves HORIZON/CELESTIAL (measured: 2× restores
+        # 100% stop agreement on the 16×32 probe, docs/fastpath_accuracy.md;
+        # only never-stopping lanes ever consume the extra budget).
         y_f, stop, steps, ev_kind, ev_data, ev_count, ev_overflow = gp.kerr_bl_rk4_march(
             march_geometry.radius,
             march_geometry.a,
@@ -176,7 +182,7 @@ def trace_rays_fast(scene, positions, momenta, interpret: bool = False, discs=No
             solver.l_z,
             solver.q,
             h0=0.01,
-            max_steps=cfg.max_steps,
+            max_steps=2 * cfg.max_steps,
             max_radius=cfg.max_radius,
             discs=discs,
             interpret=interpret,

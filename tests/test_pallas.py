@@ -31,22 +31,24 @@ def test_supports_scene():
 
 
 def test_kernel_parity_with_rkf45_path():
-    scene, x, p = flagship()
+    """Flagship-scene parity at the production bar (r1 verdict item 4):
+    ≥99% stop agreement and ≤0.01 tone-mapped error on agreeing rays.
+    The h0 = H_MAX = 1.0 step rule is evidenced by the committed sweep
+    (scripts/fastpath_accuracy.py → docs/fastpath_accuracy.md)."""
+    scene, x, p = flagship(16, 32)
     ref = scn.trace_rays(scene, x, p)
     fast = fast_path.trace_rays_fast(scene, x, p, interpret=True)
 
     stop_ref = np.asarray(ref.stop_code)
     stop_fast = np.asarray(fast.stop_code)
-    # Different integrators may classify a grazing ray differently; require
-    # near-total agreement, not exactness.
-    assert (stop_ref == stop_fast).mean() > 0.95
+    assert (stop_ref == stop_fast).mean() >= 0.99
 
     tone = lambda c: c / (1.0 + c)
     c_ref = tone(np.asarray(ref.color))
     c_fast = tone(np.asarray(fast.color))
     agree = stop_ref == stop_fast
-    np.testing.assert_allclose(c_fast[agree], c_ref[agree], atol=0.05)
-    assert np.abs(c_fast[agree] - c_ref[agree]).mean() < 1e-3
+    np.testing.assert_allclose(c_fast[agree], c_ref[agree], atol=0.01)
+    assert np.abs(c_fast[agree] - c_ref[agree]).mean() < 5e-4
 
 
 def test_kernel_hamiltonian_conservation():
@@ -137,18 +139,25 @@ beaming_exponent = 3.0
 
 
 def test_kerr_bl_kernel_parity_with_rkf45_path():
-    scene, x, p = kerr_bl_scene()
+    """BL/Mino kernel at the ≥99% stop-agreement bar (full agreement on this
+    probe with the 2× step budget — docs/fastpath_accuracy.md). The color
+    tail (q99) is escaped rays landing in adjacent celestial CHECKER cells
+    (knife-edge UV, identical classification), invariant under step size —
+    so the tight bound applies to the error distribution's bulk."""
+    scene, x, p = kerr_bl_scene(16, 32)
     assert fast_path.supports_scene(scene)
     ref = scn.trace_rays(scene, x, p)
     fast = fast_path.trace_rays_fast(scene, x, p, interpret=True)
     stop_ref = np.asarray(ref.stop_code)
     stop_fast = np.asarray(fast.stop_code)
-    assert (stop_ref == stop_fast).mean() > 0.9
+    assert (stop_ref == stop_fast).mean() >= 0.99
     tone = lambda c: c / (1.0 + c)
     agree = stop_ref == stop_fast
     c_ref = tone(np.asarray(ref.color))[agree]
     c_fast = tone(np.asarray(fast.color))[agree]
-    assert np.abs(c_ref - c_fast).mean() < 5e-3
+    err = np.abs(c_ref - c_fast).max(axis=-1)
+    assert err.mean() < 5e-3
+    assert np.quantile(err, 0.95) < 0.01
     # Both paths should see disc hits in this framing.
     assert (np.asarray(ref.ray_class) == scn.HIT).any()
     assert (np.asarray(fast.ray_class) == scn.HIT).any()
