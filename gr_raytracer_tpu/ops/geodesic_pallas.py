@@ -286,6 +286,8 @@ def _march_kernel(
     max_steps: int,
     discs: tuple,
     spheres: tuple = (),
+    r_safe: float = 0.0,
+    opaque_stop: bool = False,
 ):
     radius = param_ref[0, 0]
     a = param_ref[1, 0]
@@ -338,6 +340,28 @@ def _march_kernel(
         h = h0 * jnp.clip((r_here - r_plus) / r_ref_scale, h_min_frac, 1.0)
 
         k1 = _rhs(radius, a, y)
+        if r_safe > 0.0:
+            # Far-field escape acceleration: beyond r_safe (2× the outermost
+            # object extent) an OUTWARD-moving ray can take a step covering
+            # half its remaining gap — geometric growth reaches max_radius in
+            # O(log) steps instead of max_radius/H_MAX. The half-gap bound
+            # means one step can never re-enter the object region (no
+            # tunneling, the only reason H_MAX exists — runge_kutta.rs:61-76),
+            # and inbound lanes keep the exact H_MAX cadence so photon-ring
+            # accuracy is untouched.
+            rho = jnp.sqrt(y[1] * y[1] + y[2] * y[2] + y[3] * y[3])
+            speed = jnp.sqrt(k1[1] ** 2 + k1[2] ** 2 + k1[3] ** 2)
+            outward = (y[1] * k1[1] + y[2] * k1[2] + y[3] * k1[3]) > 0.0
+            # rho/8 cap: residual deflection scales as r_s/rho², so keeping
+            # the step proportional to the local curvature scale bounds the
+            # per-step bending error (asymptotic direction within ~1e-3 of
+            # the H_MAX cadence) while preserving geometric growth (~1.125×
+            # per step → ~40 steps to max_radius instead of max_radius/H_MAX).
+            h_far = (
+                jnp.minimum(0.5 * (rho - r_safe), 0.125 * rho)
+                / jnp.maximum(speed, 1e-12)
+            )
+            h = jnp.where(outward & (rho > r_safe), jnp.maximum(h, h_far), h)
         k2 = _rhs(radius, a, y + 0.5 * h * k1)
         k3 = _rhs(radius, a, y + 0.5 * h * k2)
         k4 = _rhs(radius, a, y + h * k3)
@@ -394,6 +418,16 @@ def _march_kernel(
                 spheres, active, y[1:4], y_new[1:4], p_prev, p_new,
                 ev_kind, ev_data, ev_count, ev_ovf,
             )
+        if opaque_stop and (discs or spheres):
+            # Every object texture is opaque (alpha 1): the first event zeroes
+            # the fold transmittance, so nothing recorded or marched after it
+            # can be visible — stop the lane (exact for color and ray class;
+            # see integrator.SATURATED).
+            stop_new = jnp.where(
+                (stop_new == integ.RUNNING) & (ev_count > 0),
+                integ.SATURATED,
+                stop_new,
+            )
 
         meta_new = jnp.concatenate(
             [
@@ -430,10 +464,16 @@ def kerr_rk4_march(
     spheres: tuple = (),
     h_min_frac: float = 0.01,
     r_ref_scale: float = 10.0,
+    r_safe: float = 0.0,
+    opaque_stop: bool = False,
     interpret: bool = False,
 ):
     """March N rays; returns an integrator.IntegrationResult-compatible
-    tuple of numpy-friendly arrays (see integrator.py for field meaning)."""
+    tuple of numpy-friendly arrays (see integrator.py for field meaning).
+
+    r_safe > 0 enables far-field escape acceleration (geometric half-gap
+    steps for outward lanes beyond r_safe); opaque_stop stops a lane at its
+    first recorded event (exact when every object texture is opaque)."""
     n = y0.shape[0]
     assert n % LANE_TILE == 0, f"N must be a multiple of {LANE_TILE}"
     dtype = y0.dtype
@@ -459,7 +499,12 @@ def kerr_rk4_march(
     )
 
     kernel = functools.partial(
-        _march_kernel, max_steps=max_steps, discs=tuple(discs), spheres=tuple(spheres)
+        _march_kernel,
+        max_steps=max_steps,
+        discs=tuple(discs),
+        spheres=tuple(spheres),
+        r_safe=float(r_safe),
+        opaque_stop=bool(opaque_stop),
     )
     y_f, meta, ev_data = pl.pallas_call(
         kernel,
@@ -538,6 +583,7 @@ def _bl_march_kernel(
     *,
     max_steps: int,
     discs: tuple,
+    opaque_stop: bool = False,
 ):
     radius = param_ref[0, 0]
     a = param_ref[1, 0]
@@ -600,6 +646,12 @@ def _bl_march_kernel(
             * jnp.clip((r_here - r_plus) / r_ref_scale, h_min_frac, 1.0)
         )
 
+        # No far-field lever here (unlike the KS kernel): dr/dλ = v_r ~ E r²
+        # far out, so the fixed-Mino-step march already advances a ~constant
+        # spatial distance per step (the 1/(1+(r/r_ref)²) factor above), and
+        # huge Mino steps wreck the RK4 accuracy of the t/φ quadratures whose
+        # integrands grow with r (wrong celestial UV — measured 0.15
+        # tone-mapped error on escape lanes).
         k1 = _bl_rhs(radius, a, e, l_z, q, y)
         k2 = _bl_rhs(radius, a, e, l_z, q, y + 0.5 * h * k1)
         k3 = _bl_rhs(radius, a, e, l_z, q, y + 0.5 * h * k2)
@@ -661,6 +713,14 @@ def _bl_march_kernel(
             ev_kind, ev_data, ev_count, ev_ovf = _store_disc_events(
                 discs, crossing, px, py, p_interp, seg, ev_kind, ev_data, ev_count, ev_ovf
             )
+        if opaque_stop and discs:
+            # All textures opaque: first event saturates the fold (see the KS
+            # kernel and integrator.SATURATED).
+            stop_new = jnp.where(
+                (stop_new == integ.RUNNING) & (ev_count > 0),
+                integ.SATURATED,
+                stop_new,
+            )
 
         meta_new = jnp.concatenate(
             [
@@ -699,6 +759,7 @@ def kerr_bl_rk4_march(
     discs: tuple = (),
     h_min_frac: float = 0.02,
     r_ref_scale: float = 10.0,
+    opaque_stop: bool = False,
     interpret: bool = False,
 ):
     """Carter-separated Mino-time RK4 march (the reference's fast geometry,
@@ -729,7 +790,12 @@ def kerr_bl_rk4_march(
     lane_spec = lambda rows: pl.BlockSpec(
         (rows, LANE_TILE), lambda i: (0, i), memory_space=pltpu.VMEM
     )
-    kernel = functools.partial(_bl_march_kernel, max_steps=max_steps, discs=tuple(discs))
+    kernel = functools.partial(
+        _bl_march_kernel,
+        max_steps=max_steps,
+        discs=tuple(discs),
+        opaque_stop=bool(opaque_stop),
+    )
     y_f, meta, ev_data = pl.pallas_call(
         kernel,
         grid=grid,

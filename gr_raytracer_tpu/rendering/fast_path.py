@@ -46,13 +46,45 @@ def _impact_proxy(geometry, x, p):
     return e, jnp.sqrt(jnp.sum(l * l, axis=-1))
 
 
-def scene_discs(scene) -> tuple:
-    """Static (DiscSpec..., SphereSpec...) tuples from a CONCRETE scene
-    (fails on tracers)."""
+def _texture_is_opaque(texture) -> bool:
+    """Statically true when every color the texture can emit has alpha 1.
+    Beaming multiplies XYZ only (color.apply_beaming), never alpha."""
+    import numpy as np
+
+    from gr_raytracer_tpu.rendering import texture as tex
+
+    if isinstance(texture, tex.BlackBodyMap):
+        return True  # sample() appends alpha = 1 unconditionally
+    if isinstance(texture, tex.CheckerMap):
+        return float(texture.c1[3]) == 1.0 and float(texture.c2[3]) == 1.0
+    if isinstance(texture, tex.BitmapMap):
+        return float(np.asarray(texture.image[..., 3]).min()) == 1.0
+    return False
+
+
+class KernelSpec:
+    """Static kernel configuration extracted from a CONCRETE scene (fails on
+    tracers): object specs, the far-field safe radius, and whether every
+    object is opaque (first hit saturates the alpha fold)."""
+
+    __slots__ = ("discs", "spheres", "r_safe", "opaque")
+
+    def __init__(self, discs, spheres, r_safe, opaque):
+        self.discs = discs
+        self.spheres = spheres
+        self.r_safe = r_safe
+        self.opaque = opaque
+
+
+def scene_kernel_spec(scene) -> KernelSpec:
+    import os
+
     discs, spheres = [], []
+    extent = 0.0
     for idx, o in enumerate(scene.objects):
         if isinstance(o, Disc):
             discs.append(gp.DiscSpec(float(o.inner_radius), float(o.outer_radius), idx))
+            extent = max(extent, float(o.outer_radius))
         elif isinstance(o, Sphere):
             spheres.append(
                 gp.SphereSpec(
@@ -63,7 +95,24 @@ def scene_discs(scene) -> tuple:
                     idx,
                 )
             )
-    return tuple(discs), tuple(spheres)
+            c = o.center
+            extent = max(
+                extent,
+                float(jnp.sqrt(c[1] ** 2 + c[2] ** 2 + c[3] ** 2)) + float(o.radius),
+            )
+    # Far-field acceleration is always safe to enable: 2× the outermost
+    # object extent (no event can occur beyond it), floored at 10×M so the
+    # strong-field region (trapped-orbit factor 5·r_s) keeps the exact H_MAX
+    # cadence even in object-free scenes.
+    r_safe = 2.0 * max(extent, 5.0 * float(scene.geometry.radius))
+    opaque = bool(scene.objects) and all(
+        _texture_is_opaque(o.texture) for o in scene.objects
+    )
+    if os.environ.get("GR_OPAQUE_STOP", "1") == "0":
+        opaque = False
+    if os.environ.get("GR_FAR_FIELD", "1") == "0":
+        r_safe = 0.0
+    return KernelSpec(tuple(discs), tuple(spheres), r_safe, opaque)
 
 
 def make_fast_tracer(concrete_scene, mesh=None):
@@ -80,11 +129,11 @@ def make_fast_tracer(concrete_scene, mesh=None):
 
     from gr_raytracer_tpu.rendering import camera as cam
 
-    discs = scene_discs(concrete_scene)
+    spec = scene_kernel_spec(concrete_scene)
 
     def body(scene, row_f, col_f):
         x, p = cam.pixel_rays(scene.camera, row_f, col_f)
-        s = trace_rays_fast(scene, x, p, discs=discs)
+        s = trace_rays_fast(scene, x, p, spec=spec)
         return s.color, s.ray_class, s.stop_code, s.ev_overflow
 
     if mesh is not None:
@@ -104,16 +153,16 @@ def make_fast_tracer(concrete_scene, mesh=None):
     return jax.jit(body)
 
 
-def trace_rays_fast(scene, positions, momenta, interpret: bool = False, discs=None):
+def trace_rays_fast(scene, positions, momenta, interpret: bool = False, spec=None):
     """Drop-in for scene.trace_rays on supported scenes (see supports_scene).
 
     N is padded to the kernel lane tile; fixed-step RK4 with radius-scaled h
     (h0 = 5× the scene step_size — RK4's local error is ~h⁵ vs the RKF45
     controller's accepted ε, and the kernel shrinks h near the hole).
 
-    Disc radial bounds must be STATIC for the kernel; when called with a
-    traced scene (under jit), precompute them from the concrete scene and
-    pass `discs` (see make_fast_tracer)."""
+    The kernel configuration (disc bounds, far-field radius, opacity) must be
+    STATIC; when called with a traced scene (under jit), precompute it from
+    the concrete scene and pass `spec` (see make_fast_tracer)."""
     if not supports_scene(scene):
         raise ValueError("pallas fast path supports Kerr/KerrBL/Schwarzschild + thin discs only")
     geometry = scene.geometry
@@ -156,9 +205,9 @@ def trace_rays_fast(scene, positions, momenta, interpret: bool = False, discs=No
     # sign between (+,−,−,−) Schwarzschild and (−,+,+,+) BL cancels.
     freq = ray_frequency_data(geometry, positions, momenta, scene.camera.velocity)
 
-    if discs is None:
-        discs = scene_discs(scene)
-    discs, spheres = discs
+    if spec is None:
+        spec = scene_kernel_spec(scene)
+    discs, spheres = spec.discs, spec.spheres
     # Step caps are set by the reference's H_MAX = 1.0 rationale, NOT the
     # scene step_size: step_size is only RKF45's initial h, and the adaptive
     # controller grows to H_MAX in the far field anyway. The kernels' near-
@@ -185,6 +234,7 @@ def trace_rays_fast(scene, positions, momenta, interpret: bool = False, discs=No
             max_steps=2 * cfg.max_steps,
             max_radius=cfg.max_radius,
             discs=discs,
+            opaque_stop=spec.opaque,
             interpret=interpret,
         )
     else:
@@ -198,6 +248,8 @@ def trace_rays_fast(scene, positions, momenta, interpret: bool = False, discs=No
             max_radius=cfg.max_radius,
             discs=discs,
             spheres=spheres,
+            r_safe=spec.r_safe,
+            opaque_stop=spec.opaque,
             interpret=interpret,
         )
 

@@ -37,6 +37,13 @@ NAN = 3  # -> degenerate ray, Captured (scene.rs:178-190)
 TRAPPED = 4  # closed orbit -> opaque black, Captured
 BUDGET = 5  # max_steps exhausted, no stop reason -> Captured (scene.rs:196-205)
 STEP_FAILED = 6  # controller retry overflow -> default sample (raytracer.rs:232-239)
+# Kernel fast path only: the march stopped early because an opaque object hit
+# saturated the alpha fold — everything behind the first event is invisible
+# (front-to-back fold transmittance hits 0), so color and ray class are exact;
+# only the stop code differs from a full march (it cannot know whether the ray
+# would have ended HORIZON or CELESTIAL). fold_samples treats it like any
+# non-escaped terminal (opaque black at weight 0).
+SATURATED = 7
 
 
 class IntegrationConfig(struct.PyTreeNode):

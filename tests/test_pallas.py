@@ -30,6 +30,22 @@ def test_supports_scene():
     assert not fast_path.supports_scene(scene.replace(objects=(object(),)))
 
 
+def stop_agree_mask(ref, fast):
+    """Stop-code agreement with opaque-first-hit semantics: a SATURATED fast
+    lane stopped at its first event because the (statically opaque) hit
+    saturates the alpha fold — color and ray class are exact by construction,
+    only the stop code can't know HORIZON vs CELESTIAL. It counts as agreeing
+    iff the reference lane indeed classifies HIT."""
+    stop_ref = np.asarray(ref.stop_code)
+    stop_fast = np.asarray(fast.stop_code)
+    sat = stop_fast == scn.integ.SATURATED
+    if sat.any():
+        # Saturated lanes must all classify HIT (opacity ≥ threshold).
+        assert (np.asarray(fast.ray_class)[sat] == scn.HIT).all()
+    hit_ref = np.asarray(ref.ray_class) == scn.HIT
+    return (stop_ref == stop_fast) | (sat & hit_ref)
+
+
 def test_kernel_parity_with_rkf45_path():
     """Flagship-scene parity at the production bar (r1 verdict item 4):
     ≥99% stop agreement and ≤0.01 tone-mapped error on agreeing rays.
@@ -39,14 +55,12 @@ def test_kernel_parity_with_rkf45_path():
     ref = scn.trace_rays(scene, x, p)
     fast = fast_path.trace_rays_fast(scene, x, p, interpret=True)
 
-    stop_ref = np.asarray(ref.stop_code)
-    stop_fast = np.asarray(fast.stop_code)
-    assert (stop_ref == stop_fast).mean() >= 0.99
+    agree = stop_agree_mask(ref, fast)
+    assert agree.mean() >= 0.99
 
     tone = lambda c: c / (1.0 + c)
     c_ref = tone(np.asarray(ref.color))
     c_fast = tone(np.asarray(fast.color))
-    agree = stop_ref == stop_fast
     np.testing.assert_allclose(c_fast[agree], c_ref[agree], atol=0.01)
     assert np.abs(c_fast[agree] - c_ref[agree]).mean() < 5e-4
 
@@ -148,11 +162,9 @@ def test_kerr_bl_kernel_parity_with_rkf45_path():
     assert fast_path.supports_scene(scene)
     ref = scn.trace_rays(scene, x, p)
     fast = fast_path.trace_rays_fast(scene, x, p, interpret=True)
-    stop_ref = np.asarray(ref.stop_code)
-    stop_fast = np.asarray(fast.stop_code)
-    assert (stop_ref == stop_fast).mean() >= 0.99
+    agree = stop_agree_mask(ref, fast)
+    assert agree.mean() >= 0.99
     tone = lambda c: c / (1.0 + c)
-    agree = stop_ref == stop_fast
     c_ref = tone(np.asarray(ref.color))[agree]
     c_fast = tone(np.asarray(fast.color))[agree]
     err = np.abs(c_ref - c_fast).max(axis=-1)
@@ -203,11 +215,9 @@ beaming_exponent = 3.0
     x, p = cam.pixel_rays(scene.camera, rr.ravel(), cc.ravel())
     ref = scn.trace_rays(scene, x, p)
     fast = fast_path.trace_rays_fast(scene, x, p, interpret=True)
-    stop_ref = np.asarray(ref.stop_code)
-    stop_fast = np.asarray(fast.stop_code)
-    assert (stop_ref == stop_fast).mean() > 0.9
+    agree = stop_agree_mask(ref, fast)
+    assert agree.mean() > 0.9
     tone = lambda c: c / (1.0 + c)
-    agree = stop_ref == stop_fast
     err = np.abs(tone(np.asarray(ref.color))[agree] - tone(np.asarray(fast.color))[agree])
     assert err.mean() < 5e-3
     assert (np.asarray(fast.ray_class) == scn.HIT).any()
@@ -270,15 +280,69 @@ color2 = [90, 0, 0]
     x, p = cam.pixel_rays(scene.camera, rr.ravel(), cc.ravel())
     ref = scn.trace_rays(scene, x, p)
     fast = fast_path.trace_rays_fast(scene, x, p, interpret=True)
-    stop_ref = np.asarray(ref.stop_code)
-    stop_fast = np.asarray(fast.stop_code)
-    assert (stop_ref == stop_fast).mean() > 0.9
+    assert stop_agree_mask(ref, fast).mean() > 0.9
     # Sphere visibly hit on both paths, with matching hit sets mostly.
     hit_ref = np.asarray(ref.ray_class) == scn.HIT
     hit_fast = np.asarray(fast.ray_class) == scn.HIT
     assert hit_ref.any() and hit_fast.any()
     assert (hit_ref == hit_fast).mean() > 0.9
     tone = lambda c: c / (1.0 + c)
-    agree = (stop_ref == stop_fast) & (hit_ref == hit_fast)
+    agree = stop_agree_mask(ref, fast) & (hit_ref == hit_fast)
     err = np.abs(tone(np.asarray(ref.color))[agree] - tone(np.asarray(fast.color))[agree])
     assert err.mean() < 2e-2
+
+
+def test_far_field_escape_acceleration():
+    """Outward lanes beyond r_safe take geometric half-gap steps: escaping to
+    max_radius = 500 costs O(log) steps, with the same classification and the
+    same asymptotic direction as the exact H_MAX = 1.0 cadence."""
+    scene, x, p = flagship(4, 8, dtype=jnp.float32)
+    geometry = scene.geometry
+    solver = geometry.make_solver(x, p)
+    y0 = solver.initial_state(x, p)
+    pad = (-y0.shape[0]) % gp.LANE_TILE
+    y0p = jnp.concatenate([y0, jnp.broadcast_to(y0[:1], (pad, 8))])
+    march = lambda r_safe, max_steps: gp.kerr_rk4_march(
+        geometry.radius,
+        geometry.a,
+        geometry.horizon_epsilon,
+        y0p,
+        h0=1.0,
+        max_steps=max_steps,
+        max_radius=500.0,
+        r_safe=r_safe,
+        interpret=True,
+    )
+    y_a, stop_a, steps_a, *_ = march(12.0, 800)
+    y_b, stop_b, steps_b, *_ = march(0.0, 800)
+    n = y0.shape[0]
+    stop_a, stop_b = np.asarray(stop_a)[:n], np.asarray(stop_b)[:n]
+    np.testing.assert_array_equal(stop_a, stop_b)
+    esc = stop_a == 2  # CELESTIAL
+    assert esc.any()
+    # The H_MAX cadence needs ~500 steps to reach r = 500; the far-field rule
+    # collapses the escape to a logarithmic number of steps.
+    assert np.asarray(steps_a)[:n][esc].max() < 150
+    assert np.asarray(steps_b)[:n][esc].max() > 400
+    # Same asymptotic direction (celestial UV driver) to f32 tolerance.
+    da = np.asarray(y_a)[:n, 1:4]
+    db = np.asarray(y_b)[:n, 1:4]
+    da = da / np.linalg.norm(da, axis=-1, keepdims=True)
+    db = db / np.linalg.norm(db, axis=-1, keepdims=True)
+    assert np.abs(da[esc] - db[esc]).max() < 2e-3
+
+
+def test_opaque_stop_is_exact():
+    """opaque_stop on/off must produce identical colors and ray classes —
+    the first opaque event saturates the fold, so truncating the march is a
+    pure optimization (VERDICT hero-render lever)."""
+    scene, x, p = flagship(8, 16)
+    spec_on = fast_path.scene_kernel_spec(scene)
+    assert spec_on.opaque  # blackbody disc texture is statically opaque
+    spec_off = fast_path.KernelSpec(spec_on.discs, spec_on.spheres, spec_on.r_safe, False)
+    on = fast_path.trace_rays_fast(scene, x, p, interpret=True, spec=spec_on)
+    off = fast_path.trace_rays_fast(scene, x, p, interpret=True, spec=spec_off)
+    sat = np.asarray(on.stop_code) == scn.integ.SATURATED
+    assert sat.any()
+    np.testing.assert_array_equal(np.asarray(on.ray_class), np.asarray(off.ray_class))
+    np.testing.assert_allclose(np.asarray(on.color), np.asarray(off.color), atol=1e-6)
