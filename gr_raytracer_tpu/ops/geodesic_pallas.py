@@ -166,6 +166,102 @@ class SphereSpec(NamedTuple):
     kind: int
 
 
+class VolSpec(NamedTuple):
+    """Static bounding volume of an axis-aligned (z) volumetric disc:
+    inner/outer cylinders clipped to ±cap_h caps (volumetric_disc.rs:442-494).
+    The kernel records the BOUNDARY-CROSSING event; the raymarch shading runs
+    in the driver's compacted split pass exactly as for the lax path."""
+
+    inner: float
+    outer: float
+    cap_h: float
+    kind: int
+
+
+MIN_INTERSECTION_T = 1e-9  # matches objects/volumetric_disc.py
+
+
+def _push_event(kind_val, hit, payload, ev_kind, ev_data, ev_count, ev_ovf):
+    """Append one event per hitting lane into the K-slot SoA buffers."""
+    t = hit.shape[-1]
+    store = hit & (ev_count < MAX_EVENTS)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (MAX_EVENTS, t), 0)
+    sel = (slot == ev_count[None, :]) & store[None, :]
+    ev_kind = jnp.where(sel, kind_val, ev_kind)
+    comp = jax.lax.broadcasted_iota(jnp.int32, (MAX_EVENTS * EVENT_WIDTH, t), 0)
+    sel_data = (comp // EVENT_WIDTH == ev_count[None, :]) & store[None, :]
+    tiled = jnp.tile(payload, (MAX_EVENTS, 1))
+    ev_data = jnp.where(sel_data, tiled, ev_data)
+    ev_count = ev_count + store.astype(jnp.int32)
+    ev_ovf = ev_ovf | (hit & (~store)).astype(jnp.int32)
+    return ev_kind, ev_data, ev_count, ev_ovf
+
+
+def _store_vol_events(
+    vols, active, s3, e3, p_prev, p_new, ev_kind, ev_data, ev_count, ev_ovf
+):
+    """First bounding-volume boundary crossing of each step segment
+    (6 candidate roots: 2 per cylinder + 2 caps; volumetric_disc.rs:348-494,
+    mirrored by objects/volumetric_disc.py _candidate_ts for axis = z).
+    Root-finding candidates cannot tunnel: any segment that crosses the
+    boundary has a root in (MIN_T, 1] regardless of step size."""
+    t_lanes = s3.shape[-1]
+    d = e3 - s3
+    d_dot = jnp.sum(d * d, axis=0)
+    a_cyl = d[0] * d[0] + d[1] * d[1]
+    b_half = s3[0] * d[0] + s3[1] * d[1]
+    ss_xy = s3[0] * s3[0] + s3[1] * s3[1]
+    dtype = s3.dtype
+    for vs in vols:
+        best_t = jnp.full((t_lanes,), jnp.inf, dtype)
+        for radius in (vs.outer, vs.inner):
+            c = ss_xy - radius * radius
+            disc = b_half * b_half - a_cyl * c
+            ok_base = (a_cyl >= 1e-10 * d_dot) & (disc >= 0.0)
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            safe_a = jnp.where(a_cyl > 0.0, a_cyl, 1.0)
+            for sign in (-1.0, 1.0):
+                tt = (-b_half + sign * sq) / safe_a
+                z_at = s3[2] + tt * d[2]
+                ok = (
+                    ok_base
+                    & (tt > MIN_INTERSECTION_T)
+                    & (tt <= 1.0)
+                    & (jnp.abs(z_at) <= vs.cap_h)
+                )
+                best_t = jnp.where(ok & (tt < best_t), tt, best_t)
+        dz_ok = jnp.abs(d[2]) > 1e-10
+        safe_dz = jnp.where(dz_ok, d[2], 1.0)
+        for zc in (vs.cap_h, -vs.cap_h):
+            tt = (zc - s3[2]) / safe_dz
+            px_ = s3[0] + tt * d[0]
+            py_ = s3[1] + tt * d[1]
+            r2 = px_ * px_ + py_ * py_
+            ok = (
+                dz_ok
+                & (tt > MIN_INTERSECTION_T)
+                & (tt <= 1.0)
+                & (r2 <= vs.outer * vs.outer)
+                & (r2 >= vs.inner * vs.inner)
+            )
+            best_t = jnp.where(ok & (tt < best_t), tt, best_t)
+
+        hit = active & (best_t < jnp.inf)
+        t_ev = jnp.where(hit, best_t, 0.0)
+        point = s3 + t_ev[None, :] * d
+        rr = jnp.sqrt(point[0] * point[0] + point[1] * point[1])
+        phi = _atan2(point[1], point[0])
+        r_norm = (rr - vs.inner) / (vs.outer - vs.inner)
+        u = 0.5 + 0.5 * r_norm * jnp.cos(phi)
+        v = 0.5 + 0.5 * r_norm * jnp.sin(phi)
+        p_interp = p_prev + t_ev[None, :] * (p_new - p_prev)
+        payload = jnp.concatenate([point, p_interp, u[None], v[None], d], axis=0)
+        ev_kind, ev_data, ev_count, ev_ovf = _push_event(
+            vs.kind, hit, payload, ev_kind, ev_data, ev_count, ev_ovf
+        )
+    return ev_kind, ev_data, ev_count, ev_ovf
+
+
 def _store_sphere_events(
     spheres, active, s3, e3, p_prev, p_new, ev_kind, ev_data, ev_count, ev_ovf
 ):
@@ -212,16 +308,9 @@ def _store_sphere_events(
         p_interp = p_prev + t[None, :] * (p_new - p_prev)
 
         payload = jnp.concatenate([world, p_interp, u[None], v[None], d], axis=0)
-        store = hit & (ev_count < MAX_EVENTS)
-        slot = jax.lax.broadcasted_iota(jnp.int32, (MAX_EVENTS, t_lanes), 0)
-        sel = (slot == ev_count[None, :]) & store[None, :]
-        ev_kind = jnp.where(sel, sp.kind, ev_kind)
-        comp = jax.lax.broadcasted_iota(jnp.int32, (MAX_EVENTS * EVENT_WIDTH, t_lanes), 0)
-        sel_data = (comp // EVENT_WIDTH == ev_count[None, :]) & store[None, :]
-        tiled = jnp.tile(payload, (MAX_EVENTS, 1))
-        ev_data = jnp.where(sel_data, tiled, ev_data)
-        ev_count = ev_count + store.astype(jnp.int32)
-        ev_ovf = ev_ovf | (hit & (~store)).astype(jnp.int32)
+        ev_kind, ev_data, ev_count, ev_ovf = _push_event(
+            sp.kind, hit, payload, ev_kind, ev_data, ev_count, ev_ovf
+        )
     return ev_kind, ev_data, ev_count, ev_ovf
 
 
@@ -252,16 +341,9 @@ def _store_disc_events(
             ],
             axis=0,
         )  # [12, T]
-        store = hit & (ev_count < MAX_EVENTS)
-        slot = jax.lax.broadcasted_iota(jnp.int32, (MAX_EVENTS, t), 0)
-        sel = (slot == ev_count[None, :]) & store[None, :]
-        ev_kind = jnp.where(sel, disc.kind, ev_kind)
-        comp = jax.lax.broadcasted_iota(jnp.int32, (MAX_EVENTS * EVENT_WIDTH, t), 0)
-        sel_data = (comp // EVENT_WIDTH == ev_count[None, :]) & store[None, :]
-        tiled = jnp.tile(payload, (MAX_EVENTS, 1))
-        ev_data = jnp.where(sel_data, tiled, ev_data)
-        ev_count = ev_count + store.astype(jnp.int32)
-        ev_ovf = ev_ovf | (hit & (~store)).astype(jnp.int32)
+        ev_kind, ev_data, ev_count, ev_ovf = _push_event(
+            disc.kind, hit, payload, ev_kind, ev_data, ev_count, ev_ovf
+        )
     return ev_kind, ev_data, ev_count, ev_ovf
 
 
@@ -286,6 +368,7 @@ def _march_kernel(
     max_steps: int,
     discs: tuple,
     spheres: tuple = (),
+    vols: tuple = (),
     r_safe: float = 0.0,
     opaque_stop: bool = False,
 ):
@@ -399,7 +482,7 @@ def _march_kernel(
         stop_new = jnp.where(active, code, stop)
 
         # --- object crossing events --------------------------------------
-        if discs or spheres:
+        if discs or spheres or vols:
             p_prev = _momentum_contra(radius, a, y)
             p_new = _momentum_contra(radius, a, y_new)
         if discs:
@@ -416,6 +499,14 @@ def _march_kernel(
         if spheres:
             ev_kind, ev_data, ev_count, ev_ovf = _store_sphere_events(
                 spheres, active, y[1:4], y_new[1:4], p_prev, p_new,
+                ev_kind, ev_data, ev_count, ev_ovf,
+            )
+        if vols:
+            # Boundary-crossing events only; never stops the lane (the
+            # volumetric fold has alpha < 1, so opaque_stop is statically
+            # off for these scenes — fast_path.scene_kernel_spec).
+            ev_kind, ev_data, ev_count, ev_ovf = _store_vol_events(
+                vols, active, y[1:4], y_new[1:4], p_prev, p_new,
                 ev_kind, ev_data, ev_count, ev_ovf,
             )
         if opaque_stop and (discs or spheres):
@@ -462,6 +553,7 @@ def kerr_rk4_march(
     max_radius: float,
     discs: tuple = (),
     spheres: tuple = (),
+    vols: tuple = (),
     h_min_frac: float = 0.01,
     r_ref_scale: float = 10.0,
     r_safe: float = 0.0,
@@ -503,6 +595,7 @@ def kerr_rk4_march(
         max_steps=max_steps,
         discs=tuple(discs),
         spheres=tuple(spheres),
+        vols=tuple(vols),
         r_safe=float(r_safe),
         opaque_stop=bool(opaque_stop),
     )
@@ -583,6 +676,7 @@ def _bl_march_kernel(
     *,
     max_steps: int,
     discs: tuple,
+    spheres: tuple = (),
     opaque_stop: bool = False,
 ):
     radius = param_ref[0, 0]
@@ -682,6 +776,28 @@ def _bl_march_kernel(
         code = jnp.where((code == integ.RUNNING) & budget, integ.BUDGET, code)
         stop_new = jnp.where(active, code, stop)
 
+        if discs or spheres:
+            p_prev = _bl_momentum(radius, a, e, l_z, y)
+            p_new = _bl_momentum(radius, a, e, l_z, y_new)
+            # Per-step KS Cartesian embedding of the segment endpoints —
+            # crossing tests run on the embedded chord, exactly like the lax
+            # path's per-segment conversion (integrator.py / chart.py).
+            sp0, cp0 = jnp.sin(y[3]), jnp.cos(y[3])
+            sp1, cp1 = jnp.sin(y_new[3]), jnp.cos(y_new[3])
+            st0, ct0 = jnp.sin(y[2]), jnp.cos(y[2])
+            st1, ct1 = jnp.sin(y_new[2]), jnp.cos(y_new[2])
+            s3 = jnp.stack(
+                [(y[1] * cp0 - a * sp0) * st0, (y[1] * sp0 + a * cp0) * st0, y[1] * ct0],
+                axis=0,
+            )
+            e3 = jnp.stack(
+                [
+                    (y_new[1] * cp1 - a * sp1) * st1,
+                    (y_new[1] * sp1 + a * cp1) * st1,
+                    y_new[1] * ct1,
+                ],
+                axis=0,
+            )
         if discs:
             # Equatorial crossing in BL: θ through π/2 (z = r cosθ).
             half_pi = jnp.asarray(jnp.pi / 2, y.dtype)
@@ -695,25 +811,17 @@ def _bl_march_kernel(
             cp = jnp.cos(phi_c)
             px = r_c * cp - a * sp  # KS embedding at θ = π/2
             py = r_c * sp + a * cp
-            p_prev = _bl_momentum(radius, a, e, l_z, y)
-            p_new = _bl_momentum(radius, a, e, l_z, y_new)
             p_interp = p_prev + frac[None, :] * (p_new - p_prev)
-            # Cartesian segment direction via the spatial embedding delta.
-            sp0, cp0 = jnp.sin(y[3]), jnp.cos(y[3])
-            sp1, cp1 = jnp.sin(y_new[3]), jnp.cos(y_new[3])
-            st0, ct0 = jnp.sin(y[2]), jnp.cos(y[2])
-            st1, ct1 = jnp.sin(y_new[2]), jnp.cos(y_new[2])
-            x0 = (y[1] * cp0 - a * sp0) * st0
-            y0c = (y[1] * sp0 + a * cp0) * st0
-            z0 = y[1] * ct0
-            x1 = (y_new[1] * cp1 - a * sp1) * st1
-            y1c = (y_new[1] * sp1 + a * cp1) * st1
-            z1 = y_new[1] * ct1
-            seg = jnp.stack([x1 - x0, y1c - y0c, z1 - z0], axis=0)
+            seg = e3 - s3
             ev_kind, ev_data, ev_count, ev_ovf = _store_disc_events(
                 discs, crossing, px, py, p_interp, seg, ev_kind, ev_data, ev_count, ev_ovf
             )
-        if opaque_stop and discs:
+        if spheres:
+            ev_kind, ev_data, ev_count, ev_ovf = _store_sphere_events(
+                spheres, active, s3, e3, p_prev, p_new,
+                ev_kind, ev_data, ev_count, ev_ovf,
+            )
+        if opaque_stop and (discs or spheres):
             # All textures opaque: first event saturates the fold (see the KS
             # kernel and integrator.SATURATED).
             stop_new = jnp.where(
@@ -757,6 +865,7 @@ def kerr_bl_rk4_march(
     max_steps: int,
     max_radius: float,
     discs: tuple = (),
+    spheres: tuple = (),
     h_min_frac: float = 0.02,
     r_ref_scale: float = 10.0,
     opaque_stop: bool = False,
@@ -794,6 +903,7 @@ def kerr_bl_rk4_march(
         _bl_march_kernel,
         max_steps=max_steps,
         discs=tuple(discs),
+        spheres=tuple(spheres),
         opaque_stop=bool(opaque_stop),
     )
     y_f, meta, ev_data = pl.pallas_call(

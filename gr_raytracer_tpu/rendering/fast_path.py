@@ -10,26 +10,38 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+import numpy as np
+
 from gr_raytracer_tpu.geometry.kerr import Kerr
 from gr_raytracer_tpu.geometry.kerr_bl import KerrBL
 from gr_raytracer_tpu.geometry.schwarzschild import Schwarzschild
 from gr_raytracer_tpu.objects.disc import Disc
 from gr_raytracer_tpu.objects.sphere import Sphere
+from gr_raytracer_tpu.objects.volumetric_disc import VolumetricDisc
 from gr_raytracer_tpu.ops import geodesic_pallas as gp
 from gr_raytracer_tpu.rendering import integrator as integ
 from gr_raytracer_tpu.rendering import scene as scn
 from gr_raytracer_tpu.rendering.redshift import ray_frequency_data
 
 
+def _vol_axis_is_z(o) -> bool:
+    return bool(np.allclose(np.asarray(o.axis), [0.0, 0.0, 1.0]))
+
+
 def supports_scene(scene) -> bool:
-    """Kerr -> KS kernel (discs + spheres); KerrBL -> Mino kernel (discs);
-    Schwarzschild -> Mino kernel at a = 0 (the BL chart coincides with the
-    spherical chart there; the Mino kernel tracks no per-step Cartesian
-    embedding, so spheres stay on the lax path for BL charts)."""
+    """Kerr -> KS kernel (discs + spheres + z-axis volumetric bounding
+    events); KerrBL / Schwarzschild -> Mino kernel (discs + spheres via the
+    per-step KS Cartesian embedding; Schwarzschild rides the a = 0 BL chart,
+    which coincides with its spherical chart). Volumetrics stay on the lax
+    path for BL charts."""
     if isinstance(scene.geometry, Kerr):
-        return all(isinstance(o, (Disc, Sphere)) for o in scene.objects)
+        return all(
+            isinstance(o, (Disc, Sphere))
+            or (isinstance(o, VolumetricDisc) and _vol_axis_is_z(o))
+            for o in scene.objects
+        )
     if isinstance(scene.geometry, (KerrBL, Schwarzschild)):
-        return all(isinstance(o, Disc) for o in scene.objects)
+        return all(isinstance(o, (Disc, Sphere)) for o in scene.objects)
     return False
 
 
@@ -67,11 +79,12 @@ class KernelSpec:
     tracers): object specs, the far-field safe radius, and whether every
     object is opaque (first hit saturates the alpha fold)."""
 
-    __slots__ = ("discs", "spheres", "r_safe", "opaque")
+    __slots__ = ("discs", "spheres", "vols", "r_safe", "opaque")
 
-    def __init__(self, discs, spheres, r_safe, opaque):
+    def __init__(self, discs, spheres, vols, r_safe, opaque):
         self.discs = discs
         self.spheres = spheres
+        self.vols = vols
         self.r_safe = r_safe
         self.opaque = opaque
 
@@ -79,11 +92,21 @@ class KernelSpec:
 def scene_kernel_spec(scene) -> KernelSpec:
     import os
 
-    discs, spheres = [], []
+    discs, spheres, vols = [], [], []
     extent = 0.0
     for idx, o in enumerate(scene.objects):
         if isinstance(o, Disc):
             discs.append(gp.DiscSpec(float(o.inner_radius), float(o.outer_radius), idx))
+            extent = max(extent, float(o.outer_radius))
+        elif isinstance(o, VolumetricDisc):
+            vols.append(
+                gp.VolSpec(
+                    float(o.inner_radius),
+                    float(o.outer_radius),
+                    float(o.thickness) * 3.0,  # CAP_HEIGHT_SIGMAS
+                    idx,
+                )
+            )
             extent = max(extent, float(o.outer_radius))
         elif isinstance(o, Sphere):
             spheres.append(
@@ -105,14 +128,17 @@ def scene_kernel_spec(scene) -> KernelSpec:
     # strong-field region (trapped-orbit factor 5·r_s) keeps the exact H_MAX
     # cadence even in object-free scenes.
     r_safe = 2.0 * max(extent, 5.0 * float(scene.geometry.radius))
+    # A volumetric fold has alpha < 1 regardless of its texture (Beer-Lambert
+    # transparency), so any volumetric object disables the opaque-stop lever.
     opaque = bool(scene.objects) and all(
-        _texture_is_opaque(o.texture) for o in scene.objects
+        (not isinstance(o, VolumetricDisc)) and _texture_is_opaque(o.texture)
+        for o in scene.objects
     )
     if os.environ.get("GR_OPAQUE_STOP", "1") == "0":
         opaque = False
     if os.environ.get("GR_FAR_FIELD", "1") == "0":
         r_safe = 0.0
-    return KernelSpec(tuple(discs), tuple(spheres), r_safe, opaque)
+    return KernelSpec(tuple(discs), tuple(spheres), tuple(vols), r_safe, opaque)
 
 
 def make_fast_tracer(concrete_scene, mesh=None):
@@ -129,6 +155,8 @@ def make_fast_tracer(concrete_scene, mesh=None):
 
     from gr_raytracer_tpu.rendering import camera as cam
 
+    if not supports_scene(concrete_scene):
+        raise ValueError("scene shape unsupported by the pallas fast path")
     spec = scene_kernel_spec(concrete_scene)
 
     def body(scene, row_f, col_f):
@@ -153,18 +181,18 @@ def make_fast_tracer(concrete_scene, mesh=None):
     return jax.jit(body)
 
 
-def trace_rays_fast(scene, positions, momenta, interpret: bool = False, spec=None):
-    """Drop-in for scene.trace_rays on supported scenes (see supports_scene).
-
-    N is padded to the kernel lane tile; fixed-step RK4 with radius-scaled h
-    (h0 = 5× the scene step_size — RK4's local error is ~h⁵ vs the RKF45
-    controller's accepted ε, and the kernel shrinks h near the hole).
-
-    The kernel configuration (disc bounds, far-field radius, opacity) must be
-    STATIC; when called with a traced scene (under jit), precompute it from
-    the concrete scene and pass `spec` (see make_fast_tracer)."""
-    if not supports_scene(scene):
-        raise ValueError("pallas fast path supports Kerr/KerrBL/Schwarzschild + thin discs only")
+def _march_scene(scene, positions, momenta, interpret: bool = False, spec=None):
+    """Shared kernel march: cost-sort, pad, march, wrap as IntegrationResult.
+    Returns (res, freq, solver, inverse_order, n) — everything still in the
+    SORTED/PADDED lane order; callers unsort with [inverse][:n]."""
+    # With a precomputed spec the support check already ran on the concrete
+    # scene (make_fast_tracer / make_fast_geo_tracer); re-checking here would
+    # read concrete object fields (volumetric axis) off a traced scene.
+    if spec is None and not supports_scene(scene):
+        raise ValueError(
+            "pallas fast path supports Kerr/KerrBL/Schwarzschild with "
+            "discs/spheres (+ z-axis volumetrics on Kerr) only"
+        )
     geometry = scene.geometry
     if isinstance(geometry, Schwarzschild):
         # The spherical chart IS the a = 0 BL chart: positions/momenta carry
@@ -234,6 +262,7 @@ def trace_rays_fast(scene, positions, momenta, interpret: bool = False, spec=Non
             max_steps=2 * cfg.max_steps,
             max_radius=cfg.max_radius,
             discs=discs,
+            spheres=spheres,
             opaque_stop=spec.opaque,
             interpret=interpret,
         )
@@ -248,6 +277,7 @@ def trace_rays_fast(scene, positions, momenta, interpret: bool = False, spec=Non
             max_radius=cfg.max_radius,
             discs=discs,
             spheres=spheres,
+            vols=spec.vols,
             r_safe=spec.r_safe,
             opaque_stop=spec.opaque,
             interpret=interpret,
@@ -267,6 +297,20 @@ def trace_rays_fast(scene, positions, momenta, interpret: bool = False, spec=Non
         h=jnp.zeros((y_f.shape[0],), y_f.dtype),
         retries=jnp.zeros((y_f.shape[0],), jnp.int32),
     )
+    return res, freq, solver, inverse, n
+
+
+def trace_rays_fast(scene, positions, momenta, interpret: bool = False, spec=None):
+    """Drop-in for scene.trace_rays on supported scenes (see supports_scene).
+
+    N is padded to the kernel lane tile; fixed-step RK4 with radius-scaled h
+    (h0 = 5× the scene step_size — RK4's local error is ~h⁵ vs the RKF45
+    controller's accepted ε, and the kernel shrinks h near the hole).
+
+    The kernel configuration (disc bounds, far-field radius, opacity) must be
+    STATIC; when called with a traced scene (under jit), precompute it from
+    the concrete scene and pass `spec` (see make_fast_tracer)."""
+    res, freq, solver, inverse, n = _march_scene(scene, positions, momenta, interpret, spec)
     colors, shade_fail = scn._shade_events(scene, freq, res)
     stop_shaded = jnp.where(shade_fail, integ.STEP_FAILED, res.stop_code)
     celestial = scn._celestial_color(scene, freq, solver, res)
@@ -281,3 +325,45 @@ def trace_rays_fast(scene, positions, momenta, interpret: bool = False, spec=Non
         kk_drift=res.kk_drift[inverse][:n],
         const_drift=res.const_drift[inverse][:n],
     )
+
+
+def trace_geometric_fast(scene, positions, momenta, interpret: bool = False, spec=None):
+    """Kernel-backed scene.trace_geometric: integration + event detection +
+    surface/celestial shading WITHOUT volumetric raymarching. The driver's
+    split path raymarches the (compacted) volumetric event lanes and folds,
+    exactly as for the lax geometric pass (raytracer._trace_chunk_split)."""
+    res, freq, solver, inverse, n = _march_scene(scene, positions, momenta, interpret, spec)
+    colors, shade_fail = scn._shade_events(scene, freq, res, include_volumetric=False)
+    stop_shaded = jnp.where(shade_fail, integ.STEP_FAILED, res.stop_code)
+    celestial = scn._celestial_color(scene, freq, solver, res)
+    unsort = lambda a: a[inverse][:n]
+    return scn.GeoTrace(
+        surface_colors=unsort(colors),
+        celestial=unsort(celestial),
+        ev_kind=unsort(res.ev_kind),
+        ev_data=unsort(res.ev_data),
+        stop_code=unsort(stop_shaded),
+        observer_energy=unsort(freq.observer_energy),
+        p_t=unsort(freq.p_t),
+        p_phi=unsort(freq.p_phi),
+        ev_overflow=unsort(res.ev_overflow),
+    )
+
+
+def make_fast_geo_tracer(concrete_scene):
+    """jitted (scene, row_f, col_f) -> GeoTrace with the kernel spec baked
+    static (see make_fast_tracer). Unsharded only — the split path's
+    compaction is host-driven."""
+    import jax
+
+    from gr_raytracer_tpu.rendering import camera as cam
+
+    if not supports_scene(concrete_scene):
+        raise ValueError("scene shape unsupported by the pallas fast path")
+    spec = scene_kernel_spec(concrete_scene)
+
+    def body(scene, row_f, col_f):
+        x, p = cam.pixel_rays(scene.camera, row_f, col_f)
+        return trace_geometric_fast(scene, x, p, spec=spec)
+
+    return jax.jit(body)

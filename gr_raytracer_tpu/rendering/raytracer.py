@@ -334,12 +334,35 @@ def _has_volumetric(scene) -> bool:
     return any(hasattr(o, "raymarch") for o in scene.objects)
 
 
+_geo_fast_tracers: dict = {}
+
+
+def _trace_chunk_geo_fast(scene, row_f, col_f):
+    """Kernel-backed geometric pass (per-scene-identity tracer cache, like
+    _trace_chunk_fast)."""
+    from gr_raytracer_tpu.rendering import fast_path
+
+    key = id(scene)
+    fn = _geo_fast_tracers.get(key)
+    if fn is None:
+        if len(_geo_fast_tracers) > 8:
+            _geo_fast_tracers.clear()
+        fn = _geo_fast_tracers[key] = fast_path.make_fast_geo_tracer(scene)
+    return fn(scene, row_f, col_f)
+
+
 def _trace_chunk_split(scene, rf, cf, vol_chunk: int = VOLUMETRIC_LANE_CHUNK, put=jnp.asarray):
     """Volumetric split path: geometric pass on device, host-side compaction
     of the (sparse) volumetric event lanes, padded compact raymarch batches,
     then the exact fold. Marching only hit lanes instead of all N·K slots is
     a 10-100× saving (most rays never enter the disc)."""
-    geo = jax.device_get(_trace_chunk_geo(scene, put(rf), put(cf)))
+    # The geometric pass rides the Pallas march kernel when the scene shape
+    # qualifies (KS chart + z-axis bounding volumes); unsharded only — the
+    # kernel has no GSPMD partitioning rule.
+    if put is jnp.asarray and _use_fast_path(scene):
+        geo = jax.device_get(_trace_chunk_geo_fast(scene, put(rf), put(cf)))
+    else:
+        geo = jax.device_get(_trace_chunk_geo(scene, put(rf), put(cf)))
     ev_colors = np.array(geo.surface_colors)
     for idx, obj in enumerate(scene.objects):
         if not hasattr(obj, "raymarch"):

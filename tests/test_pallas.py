@@ -339,10 +339,169 @@ def test_opaque_stop_is_exact():
     scene, x, p = flagship(8, 16)
     spec_on = fast_path.scene_kernel_spec(scene)
     assert spec_on.opaque  # blackbody disc texture is statically opaque
-    spec_off = fast_path.KernelSpec(spec_on.discs, spec_on.spheres, spec_on.r_safe, False)
+    spec_off = fast_path.KernelSpec(
+        spec_on.discs, spec_on.spheres, spec_on.vols, spec_on.r_safe, False
+    )
     on = fast_path.trace_rays_fast(scene, x, p, interpret=True, spec=spec_on)
     off = fast_path.trace_rays_fast(scene, x, p, interpret=True, spec=spec_off)
     sat = np.asarray(on.stop_code) == scn.integ.SATURATED
     assert sat.any()
     np.testing.assert_array_equal(np.asarray(on.ray_class), np.asarray(off.ray_class))
     np.testing.assert_allclose(np.asarray(on.color), np.asarray(off.color), atol=1e-6)
+
+
+KERR_VOLUMETRIC_SCENE = """
+celestial_temperature = 0.0
+
+[celestial_texture.Checker]
+beaming_exponent = 0.0
+width = 10.0
+height = 10.0
+color1 = [0, 255, 0]
+color2 = [0, 100, 0]
+
+[geometry_type.Kerr]
+radius = 1.0
+a = 0.3
+horizon_epsilon = 1e-4
+
+[[objects]]
+[objects.VolumetricDisc]
+inner_radius = 3.0
+outer_radius = 6.0
+temperature = 5000.0
+num_octaves = 3
+perlin_seed = 42
+max_steps = 3000
+step_size = 0.01
+thickness = 0.1
+density_multiplier = 300.0
+brightness_reference_temperature = 1000.0
+absorption = 0.3
+scattering = 0.4
+noise_scale = [2.0, 2.0, 2.0]
+noise_offset = 0.4
+[objects.VolumetricDisc.texture.BlackBody]
+beaming_exponent = 0.0
+"""
+
+
+def test_volumetric_kernel_geometric_parity():
+    """KS-kernel bounding-volume events vs the lax geometric pass: same stop
+    codes, same volumetric hit set, and matching full colors through the
+    identical inline raymarch shading (the kernel only replaces detection;
+    entry points differ by the chord-vs-geodesic sagitta of unequal step
+    cadences, so color tolerance is modest)."""
+    from gr_raytracer_tpu import config as cfgmod
+
+    cfg = cfgmod.parse_config(KERR_VOLUMETRIC_SCENE)
+    opts = cfgmod.RenderOptions(
+        width=16,
+        height=8,
+        max_steps=4000,
+        max_radius=30.0,
+        step_size=0.05,
+        camera_position=(-12.0, 0.0, -1.5),
+        theta=1.52,
+        psi=-1.57,
+    )
+    scene = cfgmod.create_scene(cfg, opts)
+    assert fast_path.supports_scene(scene)
+    spec = fast_path.scene_kernel_spec(scene)
+    assert len(spec.vols) == 1 and not spec.opaque
+
+    rr, cc = np.meshgrid(np.arange(8.0), np.arange(16.0), indexing="ij")
+    x, p = cam.pixel_rays(scene.camera, jnp.asarray(rr.ravel()), jnp.asarray(cc.ravel()))
+    ref = scn.trace_rays(scene, x, p)
+    fast = fast_path.trace_rays_fast(scene, x, p, interpret=True, spec=spec)
+
+    stop_ref = np.asarray(ref.stop_code)
+    stop_fast = np.asarray(fast.stop_code)
+    agree = stop_ref == stop_fast
+    assert agree.mean() >= 0.95
+    hit_ref = np.asarray(ref.ray_class) == scn.HIT
+    hit_fast = np.asarray(fast.ray_class) == scn.HIT
+    assert hit_ref.any()
+    assert (hit_ref == hit_fast).mean() >= 0.95
+    tone = lambda c: c / (1.0 + c)
+    both = agree & (hit_ref == hit_fast)
+    err = np.abs(tone(np.asarray(ref.color))[both] - tone(np.asarray(fast.color))[both])
+    assert err.mean() < 1e-2
+
+    # The geometric-pass variant exposes the same events for the driver's
+    # compacted raymarch: volumetric slots present where the inline path hit.
+    geo = fast_path.trace_geometric_fast(scene, x, p, interpret=True, spec=spec)
+    vol_lanes = (np.asarray(geo.ev_kind) == 0).any(axis=-1)
+    assert (vol_lanes & hit_fast).sum() > 0
+    # Volumetric surface_colors slots stay zero (shaded by the split pass).
+    vol_mask = np.asarray(geo.ev_kind) == 0
+    assert np.all(np.asarray(geo.surface_colors)[vol_mask] == 0.0)
+
+
+def test_bl_kernel_sphere_parity():
+    """Spheres in the BL/Mino kernel via the per-step KS Cartesian embedding:
+    parity vs the lax path on a Schwarzschild disc+sphere scene (the
+    schwarzschild-sphere.toml shape)."""
+    from gr_raytracer_tpu import config as cfgmod
+
+    toml = """
+celestial_temperature = 0.0
+[celestial_texture.Checker]
+beaming_exponent = 0.0
+width = 18.0
+height = 9.0
+color1 = [40, 40, 120]
+color2 = [5, 5, 20]
+[geometry_type.Schwarzschild]
+radius = 0.5
+horizon_epsilon = 1e-3
+[[objects]]
+[objects.Disc]
+inner_radius = 3.0
+outer_radius = 5.0
+temperature = 2000.0
+[objects.Disc.texture.Checker]
+beaming_exponent = 0.0
+width = 6.0
+height = 6.0
+color1 = [255, 120, 0]
+color2 = [120, 40, 0]
+[[objects]]
+[objects.Sphere]
+radius = 2.0
+position = [0.0, 0.0, 0.0]
+temperature = 2000.0
+[objects.Sphere.texture.Checker]
+beaming_exponent = 0.0
+width = 6.0
+height = 6.0
+color1 = [255, 0, 0]
+color2 = [90, 0, 0]
+"""
+    cfg = cfgmod.parse_config(toml)
+    opts = cfgmod.RenderOptions(
+        width=16,
+        height=8,
+        max_steps=3000,
+        max_radius=40.0,
+        step_size=0.01,
+        camera_position=(-10.0, 0.0, -0.5),
+        theta=-np.pi,
+    )
+    scene = cfgmod.create_scene(cfg, opts, jnp.float64)
+    assert fast_path.supports_scene(scene)
+    spec = fast_path.scene_kernel_spec(scene)
+    assert len(spec.spheres) == 1 and len(spec.discs) == 1
+    rr, cc = np.meshgrid(np.arange(8.0), np.arange(16.0), indexing="ij")
+    x, p = cam.pixel_rays(scene.camera, jnp.asarray(rr.ravel()), jnp.asarray(cc.ravel()))
+    ref = scn.trace_rays(scene, x, p)
+    fast = fast_path.trace_rays_fast(scene, x, p, interpret=True)
+    assert stop_agree_mask(ref, fast).mean() > 0.9
+    hit_ref = np.asarray(ref.ray_class) == scn.HIT
+    hit_fast = np.asarray(fast.ray_class) == scn.HIT
+    assert hit_ref.any() and hit_fast.any()
+    assert (hit_ref == hit_fast).mean() > 0.9
+    tone = lambda c: c / (1.0 + c)
+    agree = stop_agree_mask(ref, fast) & (hit_ref == hit_fast)
+    err = np.abs(tone(np.asarray(ref.color))[agree] - tone(np.asarray(fast.color))[agree])
+    assert err.mean() < 2e-2
