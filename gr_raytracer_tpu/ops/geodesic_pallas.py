@@ -677,6 +677,7 @@ def _bl_march_kernel(
     max_steps: int,
     discs: tuple,
     spheres: tuple = (),
+    vols: tuple = (),
     opaque_stop: bool = False,
 ):
     radius = param_ref[0, 0]
@@ -776,7 +777,7 @@ def _bl_march_kernel(
         code = jnp.where((code == integ.RUNNING) & budget, integ.BUDGET, code)
         stop_new = jnp.where(active, code, stop)
 
-        if discs or spheres:
+        if discs or spheres or vols:
             p_prev = _bl_momentum(radius, a, e, l_z, y)
             p_new = _bl_momentum(radius, a, e, l_z, y_new)
             # Per-step KS Cartesian embedding of the segment endpoints —
@@ -819,6 +820,13 @@ def _bl_march_kernel(
         if spheres:
             ev_kind, ev_data, ev_count, ev_ovf = _store_sphere_events(
                 spheres, active, s3, e3, p_prev, p_new,
+                ev_kind, ev_data, ev_count, ev_ovf,
+            )
+        if vols:
+            # Bounding-volume boundary crossings only (never stops the lane;
+            # volumetric scenes run with opaque_stop statically off).
+            ev_kind, ev_data, ev_count, ev_ovf = _store_vol_events(
+                vols, active, s3, e3, p_prev, p_new,
                 ev_kind, ev_data, ev_count, ev_ovf,
             )
         if opaque_stop and (discs or spheres):
@@ -866,6 +874,7 @@ def kerr_bl_rk4_march(
     max_radius: float,
     discs: tuple = (),
     spheres: tuple = (),
+    vols: tuple = (),
     h_min_frac: float = 0.02,
     r_ref_scale: float = 10.0,
     opaque_stop: bool = False,
@@ -904,6 +913,7 @@ def kerr_bl_rk4_march(
         max_steps=max_steps,
         discs=tuple(discs),
         spheres=tuple(spheres),
+        vols=tuple(vols),
         opaque_stop=bool(opaque_stop),
     )
     y_f, meta, ev_data = pl.pallas_call(

@@ -29,19 +29,17 @@ def _vol_axis_is_z(o) -> bool:
 
 
 def supports_scene(scene) -> bool:
-    """Kerr -> KS kernel (discs + spheres + z-axis volumetric bounding
-    events); KerrBL / Schwarzschild -> Mino kernel (discs + spheres via the
-    per-step KS Cartesian embedding; Schwarzschild rides the a = 0 BL chart,
-    which coincides with its spherical chart). Volumetrics stay on the lax
-    path for BL charts."""
-    if isinstance(scene.geometry, Kerr):
-        return all(
-            isinstance(o, (Disc, Sphere))
-            or (isinstance(o, VolumetricDisc) and _vol_axis_is_z(o))
-            for o in scene.objects
-        )
-    if isinstance(scene.geometry, (KerrBL, Schwarzschild)):
-        return all(isinstance(o, (Disc, Sphere)) for o in scene.objects)
+    """Kerr -> KS kernel; KerrBL / Schwarzschild -> Mino kernel
+    (Schwarzschild rides the a = 0 BL chart, which coincides with its
+    spherical chart). Both kernels record disc crossings, sphere crossings,
+    and z-axis volumetric BOUNDING-VOLUME crossings (the BL kernel via a
+    per-step KS Cartesian embedding of the segment); the volumetric
+    raymarch itself runs in the driver's compacted split pass."""
+    supported = lambda o: isinstance(o, (Disc, Sphere)) or (
+        isinstance(o, VolumetricDisc) and _vol_axis_is_z(o)
+    )
+    if isinstance(scene.geometry, (Kerr, KerrBL, Schwarzschild)):
+        return all(supported(o) for o in scene.objects)
     return False
 
 
@@ -263,6 +261,7 @@ def _march_scene(scene, positions, momenta, interpret: bool = False, spec=None):
             max_radius=cfg.max_radius,
             discs=discs,
             spheres=spheres,
+            vols=spec.vols,
             opaque_stop=spec.opaque,
             interpret=interpret,
         )

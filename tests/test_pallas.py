@@ -505,3 +505,52 @@ color2 = [90, 0, 0]
     agree = stop_agree_mask(ref, fast) & (hit_ref == hit_fast)
     err = np.abs(tone(np.asarray(ref.color))[agree] - tone(np.asarray(fast.color))[agree])
     assert err.mean() < 2e-2
+
+
+def test_bl_kernel_volumetric_parity():
+    """Volumetric bounding-volume events in the BL/Mino kernel (Schwarzschild
+    rides the a = 0 chart): parity vs the lax path on a
+    schwarzschild-volumetric-stony.toml-shaped scene."""
+    from gr_raytracer_tpu import config as cfgmod
+
+    toml = KERR_VOLUMETRIC_SCENE.replace(
+        """[geometry_type.Kerr]
+radius = 1.0
+a = 0.3
+horizon_epsilon = 1e-4""",
+        """[geometry_type.Schwarzschild]
+radius = 1.0
+horizon_epsilon = 1e-4""",
+    )
+    cfg = cfgmod.parse_config(toml)
+    # Camera angles live in the spherical chart here (theta = -pi looks at
+    # the hole, like the other Schwarzschild kernel tests).
+    opts = cfgmod.RenderOptions(
+        width=16,
+        height=8,
+        max_steps=4000,
+        max_radius=30.0,
+        step_size=0.05,
+        camera_position=(-10.0, 0.0, -0.5),
+        theta=-np.pi,
+    )
+    scene = cfgmod.create_scene(cfg, opts)
+    assert fast_path.supports_scene(scene)
+    spec = fast_path.scene_kernel_spec(scene)
+    assert len(spec.vols) == 1 and not spec.opaque
+
+    rr, cc = np.meshgrid(np.arange(8.0), np.arange(16.0), indexing="ij")
+    x, p = cam.pixel_rays(scene.camera, jnp.asarray(rr.ravel()), jnp.asarray(cc.ravel()))
+    ref = scn.trace_rays(scene, x, p)
+    fast = fast_path.trace_rays_fast(scene, x, p, interpret=True, spec=spec)
+
+    agree = np.asarray(ref.stop_code) == np.asarray(fast.stop_code)
+    assert agree.mean() >= 0.95
+    hit_ref = np.asarray(ref.ray_class) == scn.HIT
+    hit_fast = np.asarray(fast.ray_class) == scn.HIT
+    assert hit_ref.any()
+    assert (hit_ref == hit_fast).mean() >= 0.95
+    tone = lambda c: c / (1.0 + c)
+    both = agree & (hit_ref == hit_fast)
+    err = np.abs(tone(np.asarray(ref.color))[both] - tone(np.asarray(fast.color))[both])
+    assert err.mean() < 1e-2
