@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from gr_raytracer_tpu.geometry import chart as charts
+from gr_raytracer_tpu.precision import einsum
 
 # Radius, in units of r_s, inside which a photon that exhausted the step
 # budget is classified as trapped (reference: geometry.rs:100-106).
@@ -51,7 +52,7 @@ class Geometry(struct.PyTreeNode):
         """g_{μν} v^μ w^ν at x. Default contracts the full metric; diagonal
         geometries override for speed."""
         g = self.metric(x)
-        return jnp.einsum("...ij,...i,...j->...", g, v, w)
+        return einsum("...ij,...i,...j->...", g, v, w)
 
     # ---- frames ------------------------------------------------------------
     def tetrad(self, x):
@@ -66,10 +67,10 @@ class Geometry(struct.PyTreeNode):
         g = self.metric(x)
         t = self.tetrad(x)[..., 0, :]
         s = self.signature()[0]
-        gamma = s * jnp.einsum("...ij,...i,...j->...", g, t, velocity)
+        gamma = s * einsum("...ij,...i,...j->...", g, t, velocity)
         tv = t + velocity
-        tv_lower = jnp.einsum("...ij,...j->...i", g, tv)
-        gt = jnp.einsum("...ij,...j->...i", g, t)
+        tv_lower = einsum("...ij,...j->...i", g, tv)
+        gt = einsum("...ij,...j->...i", g, t)
         eye = jnp.eye(4, dtype=x.dtype)
         outer1 = tv[..., :, None] * tv_lower[..., None, :]
         outer2 = velocity[..., :, None] * gt[..., None, :]
@@ -181,13 +182,14 @@ def validate_tetrad(geometry, x, tetrad, tol=None):
 
     Raises ValueError if any of the 10 inner products deviates from the
     signature by more than `tol`. Call at scene-build time only. The default
-    tolerance is the reference's 1e-5 in float64; float32 carries ~1e-3 of
-    Gram-Schmidt rounding, so the default loosens there.
+    tolerance is the reference's 1e-5 in float64; float32 rounding through
+    Gram-Schmidt + boost measures ~2e-7 with HIGHEST-precision contractions
+    (precision.py), so 1e-4 leaves two decades of headroom.
     """
     import numpy as np
 
     if tol is None:
-        tol = 1e-5 if np.asarray(tetrad).dtype == np.float64 else 5e-3
+        tol = 1e-5 if np.asarray(tetrad).dtype == np.float64 else 1e-4
     sig = geometry.signature()
     for i in range(4):
         for j in range(i, 4):

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from gr_raytracer_tpu.geometry import chart as charts
 from gr_raytracer_tpu.geometry import circular_orbit
+from gr_raytracer_tpu.precision import einsum
 from gr_raytracer_tpu.geometry.base import (
     TRAPPED_ORBIT_RADIUS_FACTOR,
     Geometry,
@@ -69,11 +70,11 @@ class KerrSolver(Solver):
     def rhs(self, y):
         x, p = y[..., :4], y[..., 4:8]
         ginv = kerr_metric_contravariant(self.radius, self.a, x)
-        xdot = jnp.einsum("...ij,...j->...i", ginv, p)
+        xdot = einsum("...ij,...j->...i", ginv, p)
 
         def total_h(xx):
             gi = kerr_metric_contravariant(self.radius, self.a, xx)
-            return 0.5 * jnp.sum(jnp.einsum("...ij,...i,...j->...", gi, p, p))
+            return 0.5 * jnp.sum(einsum("...ij,...i,...j->...", gi, p, p))
 
         pdot = -jax.grad(total_h)(x)
         return jnp.concatenate([xdot, pdot], axis=-1)
@@ -82,12 +83,12 @@ class KerrSolver(Solver):
         """Lower the index: the state carries covariant momentum
         (kerr.rs:243-260)."""
         g = kerr_metric(self.radius, self.a, x)
-        p_cov = jnp.einsum("...ij,...j->...i", g, p)
+        p_cov = einsum("...ij,...j->...i", g, p)
         return jnp.concatenate([x, p_cov], axis=-1)
 
     def momentum(self, y):
         ginv = kerr_metric_contravariant(self.radius, self.a, y[..., :4])
-        return jnp.einsum("...ij,...j->...i", ginv, y[..., 4:8])
+        return einsum("...ij,...j->...i", ginv, y[..., 4:8])
 
 
 class Kerr(Geometry):
@@ -175,7 +176,7 @@ class Kerr(Geometry):
     def constants_of_motion(self, x, p):
         """E = −p_t(cov), L_z = −y p_x + x p_y (kerr.rs:421-445)."""
         g = kerr_metric(self.radius, self.a, x)
-        p_cov = jnp.einsum("...ij,...j->...i", g, p)
+        p_cov = einsum("...ij,...j->...i", g, p)
         return {
             "E": -p_cov[..., 0],
             "L_z": -x[..., 2] * p_cov[..., 1] + x[..., 1] * p_cov[..., 2],

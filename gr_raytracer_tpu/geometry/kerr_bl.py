@@ -16,6 +16,7 @@ import jax.numpy as jnp
 
 from gr_raytracer_tpu.geometry import chart as charts
 from gr_raytracer_tpu.geometry import circular_orbit
+from gr_raytracer_tpu.precision import einsum
 from gr_raytracer_tpu.geometry.base import (
     TRAPPED_ORBIT_RADIUS_FACTOR,
     Geometry,
@@ -230,7 +231,7 @@ class KerrBL(Geometry):
         (kerr_bl.rs:536-568)."""
         r, theta = x[..., 1], x[..., 2]
         g = metric_bl(self.radius, self.a, r, theta)
-        p_cov = jnp.einsum("...ij,...j->...i", g, p)
+        p_cov = einsum("...ij,...j->...i", g, p)
         e = -p_cov[..., 0]
         l_z = p_cov[..., 3]
         p_theta = p_cov[..., 2]

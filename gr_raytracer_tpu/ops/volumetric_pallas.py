@@ -37,6 +37,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from gr_raytracer_tpu.objects.volumetric_disc import SATURATION_EPS
 from gr_raytracer_tpu.ops import noise
 from gr_raytracer_tpu.ops.geodesic_pallas import LANE_TILE, _atan2
 
@@ -448,7 +449,10 @@ def _march_kernel(in_ref, out_ref, *, spec: VolSpec):
         a_w_sum = acc[5] + jnp.clip(lalpha, 0.0, 1.0) * alpha_w
         a_w_tot = acc[6] + alpha_w
 
-        done = jnp.where((acc[7] > 0.5) | (d_o_new >= exit_d), 1.0, 0.0)
+        # Saturation early-exit mirrors objects/volumetric_disc.py
+        # SATURATION_EPS exactly (see the bound documented there).
+        saturated = transparency < SATURATION_EPS
+        done = jnp.where((acc[7] > 0.5) | (d_o_new >= exit_d) | saturated, 1.0, 0.0)
         d_o_keep = jnp.where(live, d_o_new, d_o)
         acc_new = jnp.stack(
             [d_o_keep, transparency, acc_x, acc_y, acc_z, a_w_sum, a_w_tot, done],

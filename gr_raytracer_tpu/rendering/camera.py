@@ -20,6 +20,7 @@ from flax import struct
 
 from gr_raytracer_tpu.geometry import chart as charts
 from gr_raytracer_tpu.geometry.base import validate_tetrad
+from gr_raytracer_tpu.precision import einsum
 
 
 class Camera(struct.PyTreeNode):
@@ -86,7 +87,7 @@ def build_camera(
     rotated = jnp.stack([e_t, x_rot, y_rot, z_rot], axis=-2)
 
     lam = geometry.lorentz_transformation(position, velocity)
-    boosted = jnp.einsum("...ij,...kj->...ki", lam, rotated)
+    boosted = einsum("...ij,...kj->...ki", lam, rotated)
     if validate:
         validate_tetrad(geometry, position, boosted)
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 import numpy as np
+from gr_raytracer_tpu.precision import einsum
 
 # ---------------------------------------------------------------------------
 # CIE 1931 color matching functions (analytic Gaussian fits)
@@ -85,7 +86,7 @@ def inv_compand_srgb(u):
 def xyz_to_linear_srgb(xyz):
     """[..., 3] XYZ -> [..., 3] linear sRGB."""
     m = jnp.asarray(XYZ_TO_LINEAR_SRGB, xyz.dtype)
-    return jnp.einsum("ij,...j->...i", m, xyz)
+    return einsum("ij,...j->...i", m, xyz)
 
 
 def srgb8_to_xyza(rgba, dtype=None):
@@ -101,7 +102,7 @@ def srgb8_to_xyza(rgba, dtype=None):
     alpha = rgba[..., 3] / 255.0 if rgba.shape[-1] == 4 else jnp.ones(rgba.shape[:-1], rgba.dtype)
     lin = inv_compand_srgb(rgb)
     m = jnp.asarray(LINEAR_SRGB_TO_XYZ, lin.dtype)
-    xyz = jnp.einsum("ij,...j->...i", m, lin)
+    xyz = einsum("ij,...j->...i", m, lin)
     return jnp.concatenate([xyz, alpha[..., None]], axis=-1)
 
 
@@ -159,7 +160,7 @@ def tone_map_linear_srgb(linear_rgb, exposure=1.0, method=TONE_MAPPING_REINHARD)
     """
     c = linear_rgb * exposure
     if method == TONE_MAPPING_REINHARD:
-        luma = jnp.einsum("...i,i->...", c, jnp.asarray(_REC709_LUMA, c.dtype))
+        luma = einsum("...i,i->...", c, jnp.asarray(_REC709_LUMA, c.dtype))
         scale = jnp.where(luma > 0.0, 1.0 / (1.0 + luma), 1.0)
         return c * scale[..., None]
     elif method == TONE_MAPPING_GLOBAL_LINEAR:

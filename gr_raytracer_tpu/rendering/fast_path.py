@@ -22,6 +22,7 @@ from gr_raytracer_tpu.ops import geodesic_pallas as gp
 from gr_raytracer_tpu.rendering import integrator as integ
 from gr_raytracer_tpu.rendering import scene as scn
 from gr_raytracer_tpu.rendering.redshift import ray_frequency_data
+from gr_raytracer_tpu.precision import einsum
 
 
 def _vol_axis_is_z(o) -> bool:
@@ -50,7 +51,7 @@ def _impact_proxy(geometry, x, p):
         e, l_z, q = geometry.conserved_from_bl(x, p)
         return e, jnp.sqrt(jnp.maximum(l_z * l_z + q, 0.0))
     g = geometry.metric(x)
-    p_cov = jnp.einsum("...ij,...j->...i", g, p)
+    p_cov = einsum("...ij,...j->...i", g, p)
     e = -p_cov[..., 0]
     l = jnp.cross(x[..., 1:4], p[..., 1:4])
     return e, jnp.sqrt(jnp.sum(l * l, axis=-1))

@@ -107,3 +107,29 @@ def test_same_rays_across_charts():
     np.testing.assert_allclose(
         np.asarray(x1), np.asarray(charts.spherical_to_cartesian(x2)), atol=1e-10
     )
+
+
+def test_f32_kerr_camera_build_is_accurate():
+    """Regression: f32 frame contractions must run at HIGHEST precision.
+
+    With default matmul precision, TPU-semantics backends evaluate f32
+    einsums with bfloat16 passes; the Lorentz boost of the Kerr tetrad at
+    the flagship camera position then lands at <e0,e0> = -1.0139 and camera
+    construction raises. precision.einsum pins HIGHEST; the f32 build must
+    pass validation (tol 1e-4) and measure orthonormal to ~1e-6.
+    """
+    dt = jnp.float32
+    g = Kerr(
+        radius=jnp.asarray(1.0, dt),
+        a=jnp.asarray(0.499, dt),
+        horizon_epsilon=jnp.asarray(1e-4, dt),
+    )
+    pos = jnp.asarray([0.0, 18.0, 0.0, 0.8], dt)
+    vel = jnp.zeros(4, dt).at[0].set(1.0289732)  # static observer u^t
+    camera = cam.build_camera(g, pos, vel, PI / 4, 16, 16)  # validates inside
+    sig = g.signature()
+    for i in range(4):
+        for j in range(i, 4):
+            want = sig[i] if i == j else 0.0
+            got = float(g.inner_product(pos, camera.tetrad[i], camera.tetrad[j]))
+            assert abs(got - want) < 5e-6, (i, j, got)

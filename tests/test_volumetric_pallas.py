@@ -134,3 +134,37 @@ def test_blackbody_chebyshev_matches_integral():
     sig = exact > 1e-12 * exact.max()
     rel = np.abs(fit[sig] - exact[sig]) / exact[sig]
     assert rel.max() < 1e-6, rel.max()
+
+
+def test_saturation_early_exit_is_negligible(monkeypatch):
+    """Dense lanes retire once transparency < SATURATION_EPS (a beyond-the-
+    reference lever; volumetric_disc.rs marches the full budget). Truncation
+    error bound: remaining emission weights decay geometrically from eps, so
+    XYZ moves by < eps * intensity. Verify against an eps=0 (full-budget)
+    march on a dense disc: saturated lanes exist, colors match tightly."""
+    import gr_raytracer_tpu.objects.volumetric_disc as vd
+
+    geometry = Kerr(radius=jnp.asarray(1.0), a=jnp.asarray(0.499), horizon_epsilon=jnp.asarray(1e-4))
+    texture = BlackBodyMap.create(jnp.asarray(0.0))
+    # 6x the hero density -> optical depth >> 16 across the slab.
+    disc = make_disc(texture, geometry, max_steps=1200)
+    disc = disc.replace(density_multiplier=jnp.asarray(3000.0, jnp.float64))
+    ro, rd, obs, p_t, p_phi, active, ed = make_inputs(disc)
+
+    fast = np.asarray(disc.raymarch(geometry, ro, rd, obs, p_t, p_phi, active))
+    monkeypatch.setattr(vd, "SATURATION_EPS", 0.0)
+    full = np.asarray(disc.raymarch(geometry, ro, rd, obs, p_t, p_phi, active))
+
+    # The lever engages: some lanes reach (near-)full opacity.
+    assert (full[:, 3] > 0.999).any()
+    scale = np.abs(full[:, :3]).max()
+    np.testing.assert_allclose(fast[:, :3], full[:, :3], atol=1e-5 * scale)
+    np.testing.assert_allclose(fast[:, 3], full[:, 3], atol=1e-6)
+
+    # The Pallas kernel applies the same rule: parity with the truncated lax
+    # march stays within the standing LUT budget.
+    monkeypatch.setattr(vd, "SATURATION_EPS", 1e-7)
+    spec = vp.build_vol_spec(disc, geometry)
+    out = np.asarray(vp.raymarch(spec, ro, rd, obs, p_t, p_phi, active, ed, interpret=True))
+    np.testing.assert_allclose(out[:, 3], fast[:, 3], atol=1e-6)
+    np.testing.assert_allclose(out[:, :3], fast[:, :3], atol=1.5e-2 * scale)
