@@ -39,10 +39,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gr_raytracer_tpu.objects.volumetric_disc import SATURATION_EPS
 from gr_raytracer_tpu.ops import noise
-from gr_raytracer_tpu.ops.geodesic_pallas import LANE_TILE, _atan2
+from gr_raytracer_tpu.ops.geodesic_pallas import _atan2
 
-IN_ROWS = 16  # ro3 | rd3 | obs_e | p_t | p_phi | exit_d | active | pad
-OUT_ROWS = 8  # xyz | alpha | pad
+IN_VARS = 11  # ro3 | rd3 | obs_e | p_t | p_phi | exit_d | active
+OUT_VARS = 4  # xyz | alpha
+SUB = 8  # f32 sublane count — each per-ray variable is a (SUB, LANE) tile
+LANE = 128
+BLOCK = SUB * LANE  # rays per kernel block
 TEMP_DEG = 32
 BB_DEG = 48
 BB_LOG_FLOOR = -120.0  # log10 of "no emission" (f64 min ~1e-308; f32 flushes)
@@ -362,43 +365,43 @@ def _texture_color(spec: VolSpec, u, v, temperature, redshift):
 
 
 def _march_kernel(in_ref, out_ref, *, spec: VolSpec):
+    # Each per-ray variable is a native (SUB, VTILE) = (8, 128) block — one
+    # full f32 VPU tile per op. The previous rank-1 (T,) rows measured 1.64×
+    # slower on an identical ALU march (scripts/layout_probe.py): Mosaic lays
+    # a lane vector across lane tiles only, leaving sublanes idle.
     data = in_ref[:, :]
-    rox, roy, roz = data[0], data[1], data[2]
-    rdx, rdy, rdz = data[3], data[4], data[5]
-    obs_e = data[6]
-    p_t = data[7]
-    p_phi = data[8]
-    exit_d = data[9]
-    active = data[10] > 0.5
-    t = rox.shape[-1]
+    var = lambda i: data[i * SUB : (i + 1) * SUB]
+    rox, roy, roz = var(0), var(1), var(2)
+    rdx, rdy, rdz = var(3), var(4), var(5)
+    obs_e = var(6)
+    p_t = var(7)
+    p_phi = var(8)
+    exit_d = var(9)
+    active = var(10) > 0.5
     dtype = data.dtype
 
     d_s = spec.step_size
     sigma = spec.absorption + spec.scattering
 
-    # carry rows: d_o, transparency, acc_x, acc_y, acc_z, a_w_sum, a_w_tot, done
+    shape = rox.shape
     carry0 = (
-        jnp.concatenate(
-            [
-                jnp.zeros((1, t), dtype),  # d_o
-                jnp.ones((1, t), dtype),  # transparency
-                jnp.zeros((5, t), dtype),  # acc3, alpha_w_sum, alpha_w_tot
-                jnp.where(active, 0.0, 1.0)[None].astype(dtype),  # done
-            ],
-            axis=0,
-        ),
+        jnp.zeros(shape, dtype),  # d_o
+        jnp.ones(shape, dtype),  # transparency
+        jnp.zeros(shape, dtype),  # acc_x
+        jnp.zeros(shape, dtype),  # acc_y
+        jnp.zeros(shape, dtype),  # acc_z
+        jnp.zeros(shape, dtype),  # alpha_w_sum
+        jnp.zeros(shape, dtype),  # alpha_w_tot
+        jnp.where(active, 0.0, 1.0).astype(dtype),  # done
         jnp.zeros((), jnp.int32),
     )
 
     def cond(c):
-        acc, i = c
-        return jnp.logical_and(jnp.any(acc[7] < 0.5), i < spec.max_steps)
+        return jnp.logical_and(jnp.any(c[7] < 0.5), c[8] < spec.max_steps)
 
     def body(c):
-        acc, i = c
-        d_o = acc[0]
-        transparency0 = acc[1]
-        live = acc[7] < 0.5
+        d_o, transparency0, c_x, c_y, c_z, c_ws, c_wt, c_done, i = c
+        live = c_done < 0.5
 
         px = rox + rdx * d_o
         py = roy + rdy * d_o
@@ -441,71 +444,66 @@ def _march_kernel(in_ref, out_ref, *, spec: VolSpec):
         weight = transparency * light_attenuation * spec.scattering * density * d_s
         emit_f = jnp.where(live_emit, 1.0, 0.0)
         wscale = weight * intensity * emit_f
-        acc_x = acc[2] + wscale * lx
-        acc_y = acc[3] + wscale * ly
-        acc_z = acc[4] + wscale * lz
+        acc_x = c_x + wscale * lx
+        acc_y = c_y + wscale * ly
+        acc_z = c_z + wscale * lz
 
         alpha_w = jnp.where(live_emit, density * d_s, 0.0)
-        a_w_sum = acc[5] + jnp.clip(lalpha, 0.0, 1.0) * alpha_w
-        a_w_tot = acc[6] + alpha_w
+        a_w_sum = c_ws + jnp.clip(lalpha, 0.0, 1.0) * alpha_w
+        a_w_tot = c_wt + alpha_w
 
         # Saturation early-exit mirrors objects/volumetric_disc.py
         # SATURATION_EPS exactly (see the bound documented there).
         saturated = transparency < SATURATION_EPS
-        done = jnp.where((acc[7] > 0.5) | (d_o_new >= exit_d) | saturated, 1.0, 0.0)
+        done = jnp.where((c_done > 0.5) | (d_o_new >= exit_d) | saturated, 1.0, 0.0)
         d_o_keep = jnp.where(live, d_o_new, d_o)
-        acc_new = jnp.stack(
-            [d_o_keep, transparency, acc_x, acc_y, acc_z, a_w_sum, a_w_tot, done],
-            axis=0,
-        )
-        return (acc_new, i + 1)
+        return (d_o_keep, transparency, acc_x, acc_y, acc_z, a_w_sum, a_w_tot, done, i + 1)
 
-    acc_f, _ = jax.lax.while_loop(cond, body, carry0)
-    physical_opacity = 1.0 - acc_f[1]
-    tot = acc_f[6]
-    texture_alpha = jnp.where(tot > 0.0, acc_f[5] / jnp.where(tot > 0.0, tot, 1.0), 1.0)
+    c_f = jax.lax.while_loop(cond, body, carry0)
+    physical_opacity = 1.0 - c_f[1]
+    tot = c_f[6]
+    texture_alpha = jnp.where(tot > 0.0, c_f[5] / jnp.where(tot > 0.0, tot, 1.0), 1.0)
     alpha = physical_opacity * texture_alpha
-    out = jnp.concatenate(
-        [acc_f[2][None], acc_f[3][None], acc_f[4][None], alpha[None], jnp.zeros((4, t), dtype)],
-        axis=0,
-    )
-    out_ref[:, :] = out
+    out_ref[:, :] = jnp.concatenate([c_f[2], c_f[3], c_f[4], alpha], axis=0)
+
+
+def _to_tiles(v, n_blocks):
+    """[N] → (SUB, N//SUB) with block b's rays contiguous: column index
+    b*LANE+l, sublane s holds ray b*BLOCK + s*LANE + l. Keeps the driver's
+    exit-distance sort intact per block (short marches share a block)."""
+    return v.reshape(n_blocks, SUB, LANE).transpose(1, 0, 2).reshape(SUB, -1)
 
 
 def raymarch(spec: VolSpec, ro, rd, obs_e, p_t, p_phi, active, exit_d, interpret=False):
-    """March [N] lanes (N multiple of LANE_TILE). ro/rd: [N, 3]; the rest
-    [N]. Returns XYZA [N, 4]. exit_d must already be masked to 0 on inactive
-    lanes (the driver computes it with the lax exit_distance — identical
-    math, one batched call)."""
-    n = ro.shape[0]
-    assert n % LANE_TILE == 0, f"N must be a multiple of {LANE_TILE}"
+    """March [N] lanes (padded internally to a BLOCK=1024 multiple with
+    inactive lanes). ro/rd: [N, 3]; the rest [N]. Returns XYZA [N, 4].
+    exit_d must already be masked to 0 on inactive lanes (the driver
+    computes it with the lax exit_distance — identical math, one batched
+    call)."""
+    n_in = ro.shape[0]
+    n = -(-n_in // BLOCK) * BLOCK
+    n_blocks = n // BLOCK
     dtype = ro.dtype
 
-    data = jnp.concatenate(
-        [
-            ro.T,
-            rd.T,
-            obs_e[None],
-            p_t[None],
-            p_phi[None],
-            exit_d[None],
-            active.astype(dtype)[None],
-            jnp.zeros((IN_ROWS - 11, n), dtype),
-        ],
-        axis=0,
-    )
+    pad1 = lambda v: jnp.pad(v, (0, n - n_in))
+    cols = [ro[:, 0], ro[:, 1], ro[:, 2], rd[:, 0], rd[:, 1], rd[:, 2],
+            obs_e, p_t, p_phi, exit_d, active.astype(dtype)]
+    cols = [pad1(c) for c in cols]
+    data = jnp.concatenate([_to_tiles(c, n_blocks) for c in cols], axis=0)
 
-    grid = (n // LANE_TILE,)
-    lane_spec = lambda rows: pl.BlockSpec(
-        (rows, LANE_TILE), lambda i: (0, i), memory_space=pltpu.VMEM
+    grid = (n_blocks,)
+    lane_spec = lambda nvars: pl.BlockSpec(
+        (nvars * SUB, LANE), lambda i: (0, i), memory_space=pltpu.VMEM
     )
     kernel = functools.partial(_march_kernel, spec=spec)
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[lane_spec(IN_ROWS)],
-        out_specs=[lane_spec(OUT_ROWS)],
-        out_shape=[jax.ShapeDtypeStruct((OUT_ROWS, n), dtype)],
+        in_specs=[lane_spec(IN_VARS)],
+        out_specs=[lane_spec(OUT_VARS)],
+        out_shape=[jax.ShapeDtypeStruct((OUT_VARS * SUB, n // SUB), dtype)],
         interpret=interpret,
     )(data)[0]
-    return out[:4].T
+    # (OUT_VARS*SUB, n//SUB) → [N, 4], inverting _to_tiles per variable.
+    out = out.reshape(OUT_VARS, SUB, n_blocks, LANE).transpose(0, 2, 1, 3).reshape(OUT_VARS, n)
+    return out.T[:n_in]
