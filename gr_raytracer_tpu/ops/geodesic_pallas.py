@@ -7,8 +7,12 @@ keeps each ray block resident in VMEM for the entire march: HBM traffic is
 one load of y0 and one store of the results per ray, regardless of step
 count.
 
-Layout: SoA, state [8, N] (components on the f32 sublane tile of 8, rays on
-the 128-lane axis), N tiled into VMEM-resident blocks. Each program marches
+Layout: SoA, state (8, N//128, 128) blocked as (8, 8, 128) — every state
+component occupies a FULL (8, 128) f32 VPU tile (sublanes × lanes), so each
+elementwise op in the march saturates the unit. A rank-1 (T,) row layout
+measures 1.64× slower on an identical ALU march (scripts/layout_probe.py):
+Mosaic lays lane vectors across lane tiles only, idling 7/8 sublanes.
+Each 1024-ray block stays VMEM-resident for the whole march; each program marches
 its block with an in-kernel lax.while_loop that exits as soon as every lane
 in the block has stopped — blocks of early-terminating rays (horizon
 plunges, quick escapes) finish early instead of padding to the global
@@ -37,7 +41,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gr_raytracer_tpu.rendering import integrator as integ
 
-LANE_TILE = int(__import__("os").environ.get("GR_LANE_TILE", "512"))  # rays per block
+LANE_TILE = int(__import__("os").environ.get("GR_LANE_TILE", "1024"))  # rays per block
+SUB = 8  # f32/i32 sublane tile — every per-ray variable is a (SUB, LANE) tile
+LANE = LANE_TILE // SUB
+assert LANE_TILE % (SUB * 128) == 0, "block must be a multiple of the 8x128 VPU tile"
 MAX_EVENTS = 8  # matches the lax path's IntegrationConfig.max_events default
 EVENT_WIDTH = 12
 
@@ -182,15 +189,18 @@ MIN_INTERSECTION_T = 1e-9  # matches objects/volumetric_disc.py
 
 
 def _push_event(kind_val, hit, payload, ev_kind, ev_data, ev_count, ev_ovf):
-    """Append one event per hitting lane into the K-slot SoA buffers."""
-    t = hit.shape[-1]
+    """Append one event per hitting lane into the K-slot SoA buffers.
+    hit/ev_count/ev_ovf: (SUB, LANE) tiles; ev_kind: (MAX_EVENTS, SUB, LANE);
+    payload: (EVENT_WIDTH, SUB, LANE); ev_data: (MAX_EVENTS·EVENT_WIDTH, SUB,
+    LANE)."""
+    tile = hit.shape
     store = hit & (ev_count < MAX_EVENTS)
-    slot = jax.lax.broadcasted_iota(jnp.int32, (MAX_EVENTS, t), 0)
-    sel = (slot == ev_count[None, :]) & store[None, :]
+    slot = jax.lax.broadcasted_iota(jnp.int32, (MAX_EVENTS,) + tile, 0)
+    sel = (slot == ev_count[None]) & store[None]
     ev_kind = jnp.where(sel, kind_val, ev_kind)
-    comp = jax.lax.broadcasted_iota(jnp.int32, (MAX_EVENTS * EVENT_WIDTH, t), 0)
-    sel_data = (comp // EVENT_WIDTH == ev_count[None, :]) & store[None, :]
-    tiled = jnp.tile(payload, (MAX_EVENTS, 1))
+    comp = jax.lax.broadcasted_iota(jnp.int32, (MAX_EVENTS * EVENT_WIDTH,) + tile, 0)
+    sel_data = (comp // EVENT_WIDTH == ev_count[None]) & store[None]
+    tiled = jnp.tile(payload, (MAX_EVENTS, 1, 1))
     ev_data = jnp.where(sel_data, tiled, ev_data)
     ev_count = ev_count + store.astype(jnp.int32)
     ev_ovf = ev_ovf | (hit & (~store)).astype(jnp.int32)
@@ -205,15 +215,13 @@ def _store_vol_events(
     mirrored by objects/volumetric_disc.py _candidate_ts for axis = z).
     Root-finding candidates cannot tunnel: any segment that crosses the
     boundary has a root in (MIN_T, 1] regardless of step size."""
-    t_lanes = s3.shape[-1]
     d = e3 - s3
     d_dot = jnp.sum(d * d, axis=0)
     a_cyl = d[0] * d[0] + d[1] * d[1]
     b_half = s3[0] * d[0] + s3[1] * d[1]
     ss_xy = s3[0] * s3[0] + s3[1] * s3[1]
-    dtype = s3.dtype
     for vs in vols:
-        best_t = jnp.full((t_lanes,), jnp.inf, dtype)
+        best_t = jnp.full_like(ss_xy, jnp.inf)
         for radius in (vs.outer, vs.inner):
             c = ss_xy - radius * radius
             disc = b_half * b_half - a_cyl * c
@@ -268,8 +276,7 @@ def _store_sphere_events(
     """Segment-vs-sphere with the reference's surface-crossing precondition
     (sphere.rs:62-128): endpoint radii straddle the surface; prefer the +
     root; local-frame spherical UV; world-space point.
-    s3/e3: [3, T] segment endpoints (spatial Cartesian)."""
-    t_lanes = s3.shape[-1]
+    s3/e3: [3, SUB, LANE] segment endpoints (spatial Cartesian)."""
     d = e3 - s3
     for sp in spheres:
         # Componentwise with Python-scalar center offsets — Pallas kernels
@@ -320,8 +327,7 @@ def _store_disc_events(
     """Fold equatorial-plane crossings into the per-lane event buffer.
     px/py: crossing point in the equatorial plane (Cartesian); p_interp:
     [4, T] interpolated contravariant momentum; seg: [3, T] segment dir.
-    ev_kind [K, T], ev_data [K·12, T], ev_count [T]."""
-    t = px.shape[-1]
+    ev_kind [K, SUB, LANE], ev_data [K·12, SUB, LANE], ev_count [SUB, LANE]."""
     rr = jnp.sqrt(px * px + py * py)
     phi = _atan2(py, px)
     for disc in discs:
@@ -380,24 +386,24 @@ def _march_kernel(
     h_min_frac = param_ref[5, 0]
     r_ref_scale = param_ref[6, 0]
 
-    y0 = y_ref[:, :]
-    t = y0.shape[-1]
+    y0 = y_ref[:, :, :]  # (8, SUB, LANE): each component a native VPU tile
+    tile = y0.shape[1:]
     m = 0.5 * radius
     r_plus = m + jnp.sqrt(jnp.maximum(m * m - a * a, 0.0))
     max_radius_sq = max_radius * max_radius
 
     meta0 = jnp.concatenate(
         [
-            jnp.zeros((3, t), jnp.int32),  # stop, steps, count
-            jnp.full((MAX_EVENTS, t), -1, jnp.int32),  # ev kinds
-            jnp.zeros((META_ROWS - 3 - MAX_EVENTS, t), jnp.int32),  # ovf + spare
+            jnp.zeros((3,) + tile, jnp.int32),  # stop, steps, count
+            jnp.full((MAX_EVENTS,) + tile, -1, jnp.int32),  # ev kinds
+            jnp.zeros((META_ROWS - 3 - MAX_EVENTS,) + tile, jnp.int32),  # ovf + spare
         ],
         axis=0,
     )
     carry0 = (
         y0,
         meta0,
-        jnp.zeros((MAX_EVENTS * EVENT_WIDTH, t), y0.dtype),  # ev payloads
+        jnp.zeros((MAX_EVENTS * EVENT_WIDTH,) + tile, y0.dtype),  # ev payloads
         jnp.zeros((), jnp.int32),  # iteration
     )
 
@@ -472,7 +478,7 @@ def _march_kernel(
         trapped = (steps_new >= max_steps - 1) & (r_new < 5.0 * radius)
         budget = steps_new >= max_steps - 1
 
-        code = jnp.full((t,), integ.RUNNING, jnp.int32)
+        code = jnp.full(tile, integ.RUNNING, jnp.int32)
         code = jnp.where(~mom_finite, integ.NAN, code)
         code = jnp.where(escaped, integ.CELESTIAL, code)
         code = jnp.where(trapped, integ.TRAPPED, code)
@@ -491,7 +497,7 @@ def _march_kernel(
             frac = z_prev / (z_prev - z_new + jnp.where(z_prev == z_new, 1.0, 0.0))
             px = y[1] + frac * (y_new[1] - y[1])
             py = y[2] + frac * (y_new[2] - y[2])
-            p_interp = p_prev + frac[None, :] * (p_new - p_prev)
+            p_interp = p_prev + frac[None] * (p_new - p_prev)
             seg = y_new[1:4] - y[1:4]
             ev_kind, ev_data, ev_count, ev_ovf = _store_disc_events(
                 discs, crossing, px, py, p_interp, seg, ev_kind, ev_data, ev_count, ev_ovf
@@ -538,9 +544,9 @@ def _march_kernel(
         meta_f[META_STOP] == integ.RUNNING, integ.BUDGET, meta_f[META_STOP]
     )
     meta_f = jnp.concatenate([stop_f[None], meta_f[1:]], axis=0)
-    y_out_ref[:, :] = y_f
-    meta_ref[:, :] = meta_f
-    ev_data_ref[:, :] = ev_data_f
+    y_out_ref[:, :, :] = y_f
+    meta_ref[:, :, :] = meta_f
+    ev_data_ref[:, :, :] = ev_data_f
 
 
 def kerr_rk4_march(
@@ -569,7 +575,10 @@ def kerr_rk4_march(
     n = y0.shape[0]
     assert n % LANE_TILE == 0, f"N must be a multiple of {LANE_TILE}"
     dtype = y0.dtype
-    y_t = y0.T  # [8, N]
+    # [N, 8] → (8, N//LANE, LANE): middle-axis rows of 8 form one (SUB, LANE)
+    # tile per component per 1024-ray block; ray order stays contiguous per
+    # block so the driver's cost sort keeps grouping slow lanes together.
+    y_t = y0.T.reshape(8, n // LANE, LANE)
 
     params = jnp.array(
         [
@@ -587,7 +596,7 @@ def kerr_rk4_march(
 
     grid = (n // LANE_TILE,)
     lane_spec = lambda rows: pl.BlockSpec(
-        (rows, LANE_TILE), lambda i: (0, i), memory_space=pltpu.VMEM
+        (rows, SUB, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM
     )
 
     kernel = functools.partial(
@@ -612,13 +621,16 @@ def kerr_rk4_march(
             lane_spec(MAX_EVENTS * EVENT_WIDTH),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((8, n), dtype),
-            jax.ShapeDtypeStruct((META_ROWS, n), jnp.int32),
-            jax.ShapeDtypeStruct((MAX_EVENTS * EVENT_WIDTH, n), dtype),
+            jax.ShapeDtypeStruct((8, n // LANE, LANE), dtype),
+            jax.ShapeDtypeStruct((META_ROWS, n // LANE, LANE), jnp.int32),
+            jax.ShapeDtypeStruct((MAX_EVENTS * EVENT_WIDTH, n // LANE, LANE), dtype),
         ],
         interpret=interpret,
     )(y_t, params)
 
+    y_f = y_f.reshape(8, n)
+    meta = meta.reshape(META_ROWS, n)
+    ev_data = ev_data.reshape(MAX_EVENTS * EVENT_WIDTH, n)
     return (
         y_f.T,  # [N, 8]
         meta[META_STOP],
@@ -688,11 +700,11 @@ def _bl_march_kernel(
     h_min_frac = param_ref[5, 0]
     r_ref_scale = param_ref[6, 0]
 
-    y0 = y_ref[:, :]
-    e = consts_ref[0, :]
-    l_z = consts_ref[1, :]
-    q = consts_ref[2, :]
-    t = y0.shape[-1]
+    y0 = y_ref[:, :, :]  # (8, SUB, LANE)
+    e = consts_ref[0]
+    l_z = consts_ref[1]
+    q = consts_ref[2]
+    tile = y0.shape[1:]
     m = 0.5 * radius
     r_plus = m + jnp.sqrt(jnp.maximum(m * m - a * a, 0.0))
     max_radius_sq = max_radius * max_radius
@@ -705,16 +717,16 @@ def _bl_march_kernel(
 
     meta0 = jnp.concatenate(
         [
-            jnp.zeros((3, t), jnp.int32),
-            jnp.full((MAX_EVENTS, t), -1, jnp.int32),
-            jnp.zeros((META_ROWS - 3 - MAX_EVENTS, t), jnp.int32),
+            jnp.zeros((3,) + tile, jnp.int32),
+            jnp.full((MAX_EVENTS,) + tile, -1, jnp.int32),
+            jnp.zeros((META_ROWS - 3 - MAX_EVENTS,) + tile, jnp.int32),
         ],
         axis=0,
     )
     carry0 = (
         y0,
         meta0,
-        jnp.zeros((MAX_EVENTS * EVENT_WIDTH, t), y0.dtype),
+        jnp.zeros((MAX_EVENTS * EVENT_WIDTH,) + tile, y0.dtype),
         jnp.zeros((), jnp.int32),
     )
 
@@ -768,7 +780,7 @@ def _bl_march_kernel(
         trapped = (steps_new >= max_steps - 1) & (r_new < 5.0 * radius)
         budget = steps_new >= max_steps - 1
 
-        code = jnp.full((t,), integ.RUNNING, jnp.int32)
+        code = jnp.full(tile, integ.RUNNING, jnp.int32)
         code = jnp.where(~mom_finite, integ.NAN, code)
         code = jnp.where(escaped, integ.CELESTIAL, code)
         code = jnp.where(trapped, integ.TRAPPED, code)
@@ -856,9 +868,9 @@ def _bl_march_kernel(
         meta_f[META_STOP] == integ.RUNNING, integ.BUDGET, meta_f[META_STOP]
     )
     meta_f = jnp.concatenate([stop_f[None], meta_f[1:]], axis=0)
-    y_out_ref[:, :] = y_f
-    meta_ref[:, :] = meta_f
-    ev_data_ref[:, :] = ev_data_f
+    y_out_ref[:, :, :] = y_f
+    meta_ref[:, :, :] = meta_f
+    ev_data_ref[:, :, :] = ev_data_f
 
 
 def kerr_bl_rk4_march(
@@ -885,10 +897,10 @@ def kerr_bl_rk4_march(
     n = y0.shape[0]
     assert n % LANE_TILE == 0, f"N must be a multiple of {LANE_TILE}"
     dtype = y0.dtype
-    y_t = y0.T
+    y_t = y0.T.reshape(8, n // LANE, LANE)
     consts = jnp.concatenate(
         [e[None, :], l_z[None, :], q[None, :], jnp.zeros((5, n), dtype)], axis=0
-    )
+    ).reshape(8, n // LANE, LANE)
 
     params = jnp.array(
         [
@@ -906,7 +918,7 @@ def kerr_bl_rk4_march(
 
     grid = (n // LANE_TILE,)
     lane_spec = lambda rows: pl.BlockSpec(
-        (rows, LANE_TILE), lambda i: (0, i), memory_space=pltpu.VMEM
+        (rows, SUB, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM
     )
     kernel = functools.partial(
         _bl_march_kernel,
@@ -930,13 +942,16 @@ def kerr_bl_rk4_march(
             lane_spec(MAX_EVENTS * EVENT_WIDTH),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((8, n), dtype),
-            jax.ShapeDtypeStruct((META_ROWS, n), jnp.int32),
-            jax.ShapeDtypeStruct((MAX_EVENTS * EVENT_WIDTH, n), dtype),
+            jax.ShapeDtypeStruct((8, n // LANE, LANE), dtype),
+            jax.ShapeDtypeStruct((META_ROWS, n // LANE, LANE), jnp.int32),
+            jax.ShapeDtypeStruct((MAX_EVENTS * EVENT_WIDTH, n // LANE, LANE), dtype),
         ],
         interpret=interpret,
     )(y_t, consts, params)
 
+    y_f = y_f.reshape(8, n)
+    meta = meta.reshape(META_ROWS, n)
+    ev_data = ev_data.reshape(MAX_EVENTS * EVENT_WIDTH, n)
     return (
         y_f.T,
         meta[META_STOP],
