@@ -29,6 +29,7 @@ Python floats unrolled into the Clenshaw recurrence.
 from __future__ import annotations
 
 import functools
+import math
 from typing import NamedTuple
 
 import jax
@@ -234,6 +235,43 @@ def build_vol_spec(obj, geometry) -> VolSpec:
     )
 
 
+def march_length(obj, ro, rd, exit_d):
+    """Host-side clipped march length per lane (numpy [N]): the same
+    |h|-band ∩ r<outer interval math as the kernel prologue. The right
+    block-assignment sort key — two lanes with equal exit_d can differ 50×
+    in clipped samples when one crosses the slab steeply."""
+    axis = np.asarray(obj.axis, np.float64)
+    ro = np.asarray(ro, np.float64)
+    rd = np.asarray(rd, np.float64)
+    exit_d = np.asarray(exit_d, np.float64)
+    d_s = float(obj.step_size)
+    h_cut = float(obj.thickness) * math.sqrt(math.log(1.0 / DENSITY_VERTICAL_CUTOFF))
+    h0 = ro @ axis
+    dh = rd @ axis
+    big = np.inf
+    flat = np.abs(dh) <= 1e-12
+    safe_dh = np.where(flat, 1.0, dh)
+    ta = (-h_cut - h0) / safe_dh
+    tb = (h_cut - h0) / safe_dh
+    in_band = np.abs(h0) <= h_cut
+    h_lo = np.where(flat, np.where(in_band, 0.0, big), np.minimum(ta, tb))
+    h_hi = np.where(flat, np.where(in_band, big, -big), np.maximum(ta, tb))
+    qa = 1.0 - dh * dh
+    qb = 2.0 * (np.sum(ro * rd, axis=-1) - h0 * dh)
+    qc = np.sum(ro * ro, axis=-1) - h0 * h0 - float(obj.outer_radius) ** 2
+    qdisc = qb * qb - 4.0 * qa * qc
+    degen = qa <= 1e-8
+    sq = np.sqrt(np.maximum(qdisc, 0.0))
+    safe_qa = np.where(degen, 1.0, qa)
+    miss = (~degen) & (qdisc < 0.0)
+    r_lo = np.where(degen, 0.0, np.where(miss, big, (-qb - sq) / (2.0 * safe_qa)))
+    r_hi = np.where(degen, big, np.where(miss, -big, (-qb + sq) / (2.0 * safe_qa)))
+    d_budget = float(obj.max_steps) * d_s
+    d_lo = np.maximum(np.maximum(h_lo, r_lo), 0.0)
+    d_hi = np.minimum(np.minimum(h_hi, r_hi) + d_s, np.minimum(exit_d, d_budget))
+    return np.maximum(d_hi - d_lo, 0.0)
+
+
 def supports(obj, geometry) -> bool:
     """Kernel coverage: Kerr/KerrBL/Schwarzschild geometry (one BL-radius
     formula covers all three at their own spin), blackbody or checker
@@ -383,16 +421,55 @@ def _march_kernel(in_ref, out_ref, *, spec: VolSpec):
     d_s = spec.step_size
     sigma = spec.absorption + spec.scattering
 
+    # ---- Exact march clipping (a beyond-the-reference lever) -------------
+    # density() is IDENTICALLY zero outside (a) the vertical Gaussian band
+    # |h| <= h_cut (hard DENSITY_VERTICAL_CUTOFF) and (b) the r < outer
+    # cylinder. Along the straight chord p(d) = ro + d·rd, h(d) is linear
+    # and r²(d) quadratic, so the possibly-emitting d-range is a closed
+    # interval — skipping samples outside it changes nothing (attenuation
+    # exp(0) = 1, emission 0). For near-plane slabs (thickness << chord)
+    # this cuts the marched samples by 5-50×.
+    h_cut = spec.thickness * math.sqrt(math.log(1.0 / DENSITY_VERTICAL_CUTOFF))
+    axx, axy, axz = spec.axis
+    h0 = rox * axx + roy * axy + roz * axz
+    dh = rdx * axx + rdy * axy + rdz * axz
+    big = jnp.asarray(3.4e38, dtype)
+    flat = jnp.abs(dh) <= 1e-12
+    safe_dh = jnp.where(flat, 1.0, dh)
+    ta = (-h_cut - h0) / safe_dh
+    tb = (h_cut - h0) / safe_dh
+    in_band = jnp.abs(h0) <= h_cut
+    h_lo = jnp.where(flat, jnp.where(in_band, 0.0, big), jnp.minimum(ta, tb))
+    h_hi = jnp.where(flat, jnp.where(in_band, big, -big), jnp.maximum(ta, tb))
+    # r²(d) = |p|² − h(d)²; rd is unit so A = 1 − dh² >= 0.
+    qa = 1.0 - dh * dh
+    qb = 2.0 * (rox * rdx + roy * rdy + roz * rdz - h0 * dh)
+    qc = rox * rox + roy * roy + roz * roz - h0 * h0 - spec.outer * spec.outer
+    qdisc = qb * qb - 4.0 * qa * qc
+    degen = qa <= 1e-8  # chord ~parallel to axis: r² ~linear, skip the clip
+    sq = jnp.sqrt(jnp.maximum(qdisc, 0.0))
+    safe_qa = jnp.where(degen, 1.0, qa)
+    miss = (~degen) & (qdisc < 0.0)
+    r_lo = jnp.where(degen, 0.0, jnp.where(miss, big, (-qb - sq) / (2.0 * safe_qa)))
+    r_hi = jnp.where(degen, big, jnp.where(miss, -big, (-qb + sq) / (2.0 * safe_qa)))
+
+    d_budget = float(spec.max_steps) * d_s  # lax never samples past this
+    d_lo = jnp.maximum(jnp.maximum(h_lo, r_lo), 0.0)
+    d_hi = jnp.minimum(jnp.minimum(h_hi, r_hi) + d_s, jnp.minimum(exit_d, d_budget))
+    k0 = jnp.floor(d_lo / d_s)  # start on the lax sample grid, one back
+    k0 = jnp.maximum(k0 - 1.0, 0.0)
+    empty = (k0 * d_s >= d_hi) | ~active
+
     shape = rox.shape
     carry0 = (
-        jnp.zeros(shape, dtype),  # d_o
+        k0,  # sample index (d_o = k · d_s — index·step, no accumulation drift)
         jnp.ones(shape, dtype),  # transparency
         jnp.zeros(shape, dtype),  # acc_x
         jnp.zeros(shape, dtype),  # acc_y
         jnp.zeros(shape, dtype),  # acc_z
         jnp.zeros(shape, dtype),  # alpha_w_sum
         jnp.zeros(shape, dtype),  # alpha_w_tot
-        jnp.where(active, 0.0, 1.0).astype(dtype),  # done
+        jnp.where(empty, 1.0, 0.0).astype(dtype),  # done
         jnp.zeros((), jnp.int32),
     )
 
@@ -400,9 +477,10 @@ def _march_kernel(in_ref, out_ref, *, spec: VolSpec):
         return jnp.logical_and(jnp.any(c[7] < 0.5), c[8] < spec.max_steps)
 
     def body(c):
-        d_o, transparency0, c_x, c_y, c_z, c_ws, c_wt, c_done, i = c
+        k, transparency0, c_x, c_y, c_z, c_ws, c_wt, c_done, i = c
         live = c_done < 0.5
 
+        d_o = k * d_s
         px = rox + rdx * d_o
         py = roy + rdy * d_o
         pz = roz + rdz * d_o
@@ -455,9 +533,9 @@ def _march_kernel(in_ref, out_ref, *, spec: VolSpec):
         # Saturation early-exit mirrors objects/volumetric_disc.py
         # SATURATION_EPS exactly (see the bound documented there).
         saturated = transparency < SATURATION_EPS
-        done = jnp.where((c_done > 0.5) | (d_o_new >= exit_d) | saturated, 1.0, 0.0)
-        d_o_keep = jnp.where(live, d_o_new, d_o)
-        return (d_o_keep, transparency, acc_x, acc_y, acc_z, a_w_sum, a_w_tot, done, i + 1)
+        done = jnp.where((c_done > 0.5) | (d_o_new >= d_hi) | saturated, 1.0, 0.0)
+        k_keep = jnp.where(live, k + 1.0, k)
+        return (k_keep, transparency, acc_x, acc_y, acc_z, a_w_sum, a_w_tot, done, i + 1)
 
     c_f = jax.lax.while_loop(cond, body, carry0)
     physical_opacity = 1.0 - c_f[1]

@@ -295,6 +295,23 @@ def _raymarch_compact(obj, geometry, ro, rd, obs, p_t, p_phi, active):
     return obj.raymarch(geometry, ro, rd, obs, p_t, p_phi, active)
 
 
+@jax.jit
+def _exit_distance_jit(obj, ro, rd):
+    return obj.exit_distance(ro, rd)
+
+
+def _exit_distances(obj, ro, rd, put):
+    """Jitted, bucket-padded exit distances. Eager dispatch of the ~50-op
+    exit_distance expression over a tunneled TPU costs ~0.3 s PER OP — it
+    was 15 s of a 15.2 s frame (the entire volumetric split budget);
+    jitted it is one dispatch. Padding to the chunk size bounds retraces."""
+    n = ro.shape[0]
+    nb = -(-n // VOLUMETRIC_LANE_CHUNK) * VOLUMETRIC_LANE_CHUNK
+    rop = np.concatenate([ro, np.repeat(ro[:1], nb - n, axis=0)])
+    rdp = np.concatenate([rd, np.repeat(rd[:1], nb - n, axis=0)])
+    return np.asarray(jax.device_get(_exit_distance_jit(obj, put(rop), put(rdp))))[:n]
+
+
 VOLUMETRIC_LANE_CHUNK = 4096
 
 _vol_specs: dict = {}
@@ -375,20 +392,27 @@ def _trace_chunk_split(scene, rf, cf, vol_chunk: int = VOLUMETRIC_LANE_CHUNK, pu
         norm = np.maximum(np.linalg.norm(seg, axis=-1, keepdims=True), 1e-30)
         rd_all = seg / norm
         # Each raymarch batch runs until its slowest lane exits; sort lanes
-        # by their precomputed exit distance so grazers (full-slab marches)
-        # share batches instead of pacing every batch.
-        ed = np.asarray(jax.device_get(obj.exit_distance(put(ro_all), put(rd_all))))
-        lane_order = np.argsort(ed)
-        nn, kk = nn[lane_order], kk[lane_order]
-        ro_all, rd_all, ed = ro_all[lane_order], rd_all[lane_order], ed[lane_order]
-        obs_all = geo.observer_energy[nn]
-        pt_all = geo.p_t[nn]
-        pphi_all = geo.p_phi[nn]
+        # so slow lanes share batches instead of pacing every batch. The
+        # kernel path clips every march to its emitting interval, so its
+        # cost is the CLIPPED length (vp.march_length), not exit_d — two
+        # lanes with equal exit_d can differ 50× in marched samples.
+        ed = _exit_distances(obj, ro_all, rd_all, put)
         # Pallas VMEM-resident raymarch when the object/geometry qualifies
         # (ops/volumetric_pallas.py); only on an unsharded driver — the
         # kernel has no GSPMD partitioning rule (the sharded path goes
         # through the lax raymarch, which partitions trivially).
         _, kernel = (None, None) if put is not jnp.asarray else _vol_kernel_fn(obj, scene.geometry)
+        if kernel is not None:
+            from gr_raytracer_tpu.ops import volumetric_pallas as vp
+
+            lane_order = np.argsort(vp.march_length(obj, ro_all, rd_all, ed))
+        else:
+            lane_order = np.argsort(ed)
+        nn, kk = nn[lane_order], kk[lane_order]
+        ro_all, rd_all, ed = ro_all[lane_order], rd_all[lane_order], ed[lane_order]
+        obs_all = geo.observer_energy[nn]
+        pt_all = geo.p_t[nn]
+        pphi_all = geo.p_phi[nn]
         for start in range(0, nn.size, vol_chunk):
             end = min(start + vol_chunk, nn.size)
             m = end - start
