@@ -95,6 +95,30 @@ def estimate_step_flops():
         return 1000.0  # hand count: ~215 flops/RHS x 4 + update/stops/events
 
 
+def _build_scene_host(jax, jnp):
+    """Flagship scene with eager precomputation pinned to the host CPU
+    backend when available — eager op-by-op dispatch over the tunneled TPU
+    costs ~0.3-1 s per op (minutes per scene build)."""
+    from gr_raytracer_tpu import config as cfgmod
+    from gr_raytracer_tpu import presets
+
+    cfgmod.enable_host_cpu_platform()
+    build = lambda: presets.build_kerr_flagship(
+        presets.kerr_flagship_params(jnp.float32),
+        ROWS, COLS, max_steps=MAX_STEPS, max_radius=40.0, step_size=0.05,
+    )
+    try:
+        cpu = jax.devices("cpu")[0]
+    except Exception:
+        cpu = None
+    default = jax.devices()[0]
+    if cpu is None or default == cpu:
+        return build()
+    with jax.default_device(cpu):
+        scene = build()
+    return jax.device_put(scene, default)
+
+
 def measure():
     import jax
 
@@ -102,16 +126,12 @@ def measure():
     import jax.numpy as jnp
     import numpy as np
 
-    from gr_raytracer_tpu import presets
     from gr_raytracer_tpu.rendering import raytracer as rt
 
-    backend = jax.default_backend()
-    params = presets.kerr_flagship_params(jnp.float32)
     # Scene build (LUT construction, camera) happens once, outside timing —
     # the benchmark measures the render path.
-    scene = presets.build_kerr_flagship(
-        params, ROWS, COLS, max_steps=MAX_STEPS, max_radius=40.0, step_size=0.05
-    )
+    scene = _build_scene_host(jax, jnp)
+    backend = jax.default_backend()
     rf = (np.arange(ROWS * COLS) // COLS).astype(np.float32)
     cf = (np.arange(ROWS * COLS) % COLS).astype(np.float32)
 
@@ -173,13 +193,9 @@ def warm():
     import jax.numpy as jnp
     import numpy as np
 
-    from gr_raytracer_tpu import presets
     from gr_raytracer_tpu.rendering import raytracer as rt
 
-    params = presets.kerr_flagship_params(jnp.float32)
-    scene = presets.build_kerr_flagship(
-        params, ROWS, COLS, max_steps=MAX_STEPS, max_radius=40.0, step_size=0.05
-    )
+    scene = _build_scene_host(jax, jnp)
     rf = (np.arange(ROWS * COLS) // COLS).astype(np.float32)
     cf = (np.arange(ROWS * COLS) % COLS).astype(np.float32)
     t0 = time.perf_counter()

@@ -95,6 +95,9 @@ def _setup_dtype(args):
         import jax.numpy as jnp
 
         return jnp.float64
+    from gr_raytracer_tpu import config as cfgmod
+
+    cfgmod.enable_host_cpu_platform()
     import jax.numpy as jnp
 
     return jnp.float32
@@ -121,7 +124,7 @@ def _load_scene(args, dtype):
         show_sampling_mask=args.show_sampling_mask,
         sampling_mask_color=_floats(args.sampling_mask_color, 3, "--sampling-mask-color"),
     )
-    scene = cfgmod.create_scene(cfg, opts, dtype)
+    scene = cfgmod.create_scene_host(cfg, opts, dtype)
     return cfg, opts, scene
 
 

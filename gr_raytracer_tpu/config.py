@@ -294,6 +294,40 @@ def assert_future_directed(context, geometry, position, vec):
         )
 
 
+def enable_host_cpu_platform():
+    """Make a host CPU backend available ALONGSIDE the accelerator (call
+    before any jax backend use). Scene assembly is hundreds of tiny eager
+    ops; dispatched one-by-one over a tunneled TPU each costs ~0.3-1 s
+    (≈4 min of the 1000² hero render went to scene build before this).
+    No-op once backends are initialized or when cpu is already listed."""
+    import jax
+
+    plats = os.environ.get("JAX_PLATFORMS", "")
+    if plats and "cpu" not in plats.split(","):
+        try:
+            jax.config.update("jax_platforms", plats + ",cpu")
+        except Exception:
+            pass
+
+
+def create_scene_host(cfg: RenderConfig, opts: RenderOptions, dtype=None) -> scn.Scene:
+    """create_scene with every eager precomputation pinned to the host CPU
+    backend (when one exists), then one device_put of the finished pytree to
+    the default device. Identical math — only the dispatch target changes."""
+    import jax
+
+    try:
+        cpu = jax.devices("cpu")[0]
+    except Exception:
+        cpu = None
+    default = jax.devices()[0]
+    if cpu is None or default == cpu:
+        return create_scene(cfg, opts, dtype)
+    with jax.default_device(cpu):
+        scene = create_scene(cfg, opts, dtype)
+    return jax.device_put(scene, default)
+
+
 def create_scene(cfg: RenderConfig, opts: RenderOptions, dtype=None) -> scn.Scene:
     """Full scene assembly (cli/shared.rs:131-321 + per-geometry adapters:
     the CLI camera position is Cartesian and converted to the geometry's

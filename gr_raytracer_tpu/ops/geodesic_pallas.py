@@ -32,6 +32,7 @@ and fold are shared verbatim.
 from __future__ import annotations
 
 import functools
+import math
 from typing import NamedTuple
 
 import jax
@@ -488,32 +489,85 @@ def _march_kernel(
         stop_new = jnp.where(active, code, stop)
 
         # --- object crossing events --------------------------------------
+        # Cheap candidate tests (a handful of tile ops, strict supersets of
+        # each store's hit condition) gate the expensive store path — the
+        # contravariant momenta, root finding and the K-slot buffer scatter
+        # run only on the rare block-steps where some lane might cross.
         if discs or spheres or vols:
-            p_prev = _momentum_contra(radius, a, y)
-            p_new = _momentum_contra(radius, a, y_new)
-        if discs:
             z_prev, z_new = y[3], y_new[3]
-            crossing = (z_prev * z_new < 0.0) & active
-            frac = z_prev / (z_prev - z_new + jnp.where(z_prev == z_new, 1.0, 0.0))
-            px = y[1] + frac * (y_new[1] - y[1])
-            py = y[2] + frac * (y_new[2] - y[2])
-            p_interp = p_prev + frac[None] * (p_new - p_prev)
-            seg = y_new[1:4] - y[1:4]
-            ev_kind, ev_data, ev_count, ev_ovf = _store_disc_events(
-                discs, crossing, px, py, p_interp, seg, ev_kind, ev_data, ev_count, ev_ovf
-            )
-        if spheres:
-            ev_kind, ev_data, ev_count, ev_ovf = _store_sphere_events(
-                spheres, active, y[1:4], y_new[1:4], p_prev, p_new,
-                ev_kind, ev_data, ev_count, ev_ovf,
-            )
-        if vols:
-            # Boundary-crossing events only; never stops the lane (the
-            # volumetric fold has alpha < 1, so opaque_stop is statically
-            # off for these scenes — fast_path.scene_kernel_spec).
-            ev_kind, ev_data, ev_count, ev_ovf = _store_vol_events(
-                vols, active, y[1:4], y_new[1:4], p_prev, p_new,
-                ev_kind, ev_data, ev_count, ev_ovf,
+            cand = jnp.zeros_like(active)
+            if discs:
+                cand = cand | ((z_prev * z_new < 0.0) & active)
+            if spheres:
+                for sp in spheres:
+                    r2 = sp.radius * sp.radius
+                    rs = (
+                        (y[1] - sp.cx) ** 2 + (y[2] - sp.cy) ** 2 + (y[3] - sp.cz) ** 2
+                    )
+                    re_ = (
+                        (y_new[1] - sp.cx) ** 2
+                        + (y_new[2] - sp.cy) ** 2
+                        + (y_new[3] - sp.cz) ** 2
+                    )
+                    cand = cand | (active & ((rs - r2) * (re_ - r2) <= 0.0))
+            if vols:
+                # z-band overlap + closest-approach of the chord's xy
+                # projection to the axis (exact quadratic minimum) vs the
+                # outer cylinder: necessary for ANY of the 6 boundary roots.
+                dx = y_new[1] - y[1]
+                dy = y_new[2] - y[2]
+                a_c = dx * dx + dy * dy
+                b_h = y[1] * dx + y[2] * dy
+                rho0 = y[1] * y[1] + y[2] * y[2]
+                t_star = jnp.clip(-b_h / jnp.maximum(a_c, 1e-20), 0.0, 1.0)
+                rho_min2 = rho0 + (2.0 * b_h + a_c * t_star) * t_star
+                zmin = jnp.minimum(z_prev, z_new)
+                zmax = jnp.maximum(z_prev, z_new)
+                for vs in vols:
+                    cand = cand | (
+                        active
+                        & (zmin <= vs.cap_h)
+                        & (zmax >= -vs.cap_h)
+                        & (rho_min2 <= vs.outer * vs.outer)
+                    )
+
+            def _do_stores(ev):
+                ev_kind, ev_data, ev_count, ev_ovf = ev
+                p_prev = _momentum_contra(radius, a, y)
+                p_new = _momentum_contra(radius, a, y_new)
+                if discs:
+                    crossing = (z_prev * z_new < 0.0) & active
+                    frac = z_prev / (
+                        z_prev - z_new + jnp.where(z_prev == z_new, 1.0, 0.0)
+                    )
+                    px = y[1] + frac * (y_new[1] - y[1])
+                    py = y[2] + frac * (y_new[2] - y[2])
+                    p_interp = p_prev + frac[None] * (p_new - p_prev)
+                    seg = y_new[1:4] - y[1:4]
+                    ev_kind, ev_data, ev_count, ev_ovf = _store_disc_events(
+                        discs, crossing, px, py, p_interp, seg,
+                        ev_kind, ev_data, ev_count, ev_ovf,
+                    )
+                if spheres:
+                    ev_kind, ev_data, ev_count, ev_ovf = _store_sphere_events(
+                        spheres, active, y[1:4], y_new[1:4], p_prev, p_new,
+                        ev_kind, ev_data, ev_count, ev_ovf,
+                    )
+                if vols:
+                    # Boundary-crossing events only; never stops the lane
+                    # (the volumetric fold has alpha < 1, so opaque_stop is
+                    # statically off — fast_path.scene_kernel_spec).
+                    ev_kind, ev_data, ev_count, ev_ovf = _store_vol_events(
+                        vols, active, y[1:4], y_new[1:4], p_prev, p_new,
+                        ev_kind, ev_data, ev_count, ev_ovf,
+                    )
+                return ev_kind, ev_data, ev_count, ev_ovf
+
+            ev_kind, ev_data, ev_count, ev_ovf = jax.lax.cond(
+                jnp.any(cand),
+                _do_stores,
+                lambda ev: ev,
+                (ev_kind, ev_data, ev_count, ev_ovf),
             )
         if opaque_stop and (discs or spheres):
             # Every object texture is opaque (alpha 1): the first event zeroes
@@ -790,56 +844,105 @@ def _bl_march_kernel(
         stop_new = jnp.where(active, code, stop)
 
         if discs or spheres or vols:
-            p_prev = _bl_momentum(radius, a, e, l_z, y)
-            p_new = _bl_momentum(radius, a, e, l_z, y_new)
-            # Per-step KS Cartesian embedding of the segment endpoints —
-            # crossing tests run on the embedded chord, exactly like the lax
-            # path's per-segment conversion (integrator.py / chart.py).
-            sp0, cp0 = jnp.sin(y[3]), jnp.cos(y[3])
-            sp1, cp1 = jnp.sin(y_new[3]), jnp.cos(y_new[3])
-            st0, ct0 = jnp.sin(y[2]), jnp.cos(y[2])
-            st1, ct1 = jnp.sin(y_new[2]), jnp.cos(y_new[2])
-            s3 = jnp.stack(
-                [(y[1] * cp0 - a * sp0) * st0, (y[1] * sp0 + a * cp0) * st0, y[1] * ct0],
-                axis=0,
-            )
-            e3 = jnp.stack(
-                [
-                    (y_new[1] * cp1 - a * sp1) * st1,
-                    (y_new[1] * sp1 + a * cp1) * st1,
-                    y_new[1] * ct1,
-                ],
-                axis=0,
-            )
-        if discs:
-            # Equatorial crossing in BL: θ through π/2 (z = r cosθ).
+            # Cheap candidate tests in BL coordinates gate the expensive
+            # path (momenta, the 8-transcendental KS embedding, root
+            # finding, buffer scatter) — each is a strict superset of the
+            # corresponding store's hit condition, so gating is exact.
             half_pi = jnp.asarray(jnp.pi / 2, y.dtype)
-            d_prev = y[2] - half_pi
-            d_new = y_new[2] - half_pi
-            crossing = (d_prev * d_new < 0.0) & active
-            frac = d_prev / (d_prev - d_new + jnp.where(d_prev == d_new, 1.0, 0.0))
-            r_c = y[1] + frac * (y_new[1] - y[1])
-            phi_c = y[3] + frac * (y_new[3] - y[3])
-            sp = jnp.sin(phi_c)
-            cp = jnp.cos(phi_c)
-            px = r_c * cp - a * sp  # KS embedding at θ = π/2
-            py = r_c * sp + a * cp
-            p_interp = p_prev + frac[None, :] * (p_new - p_prev)
-            seg = e3 - s3
-            ev_kind, ev_data, ev_count, ev_ovf = _store_disc_events(
-                discs, crossing, px, py, p_interp, seg, ev_kind, ev_data, ev_count, ev_ovf
-            )
-        if spheres:
-            ev_kind, ev_data, ev_count, ev_ovf = _store_sphere_events(
-                spheres, active, s3, e3, p_prev, p_new,
-                ev_kind, ev_data, ev_count, ev_ovf,
-            )
-        if vols:
-            # Bounding-volume boundary crossings only (never stops the lane;
-            # volumetric scenes run with opaque_stop statically off).
-            ev_kind, ev_data, ev_count, ev_ovf = _store_vol_events(
-                vols, active, s3, e3, p_prev, p_new,
-                ev_kind, ev_data, ev_count, ev_ovf,
+            z0 = y[1] * jnp.cos(y[2])  # z = r cosθ (exact embedding z)
+            z1 = y_new[1] * jnp.cos(y_new[2])
+            cand = jnp.zeros_like(active)
+            if discs:
+                cand = cand | (((y[2] - half_pi) * (y_new[2] - half_pi) < 0.0) & active)
+            if spheres:
+                # |p| from the embedding: |p|² = (r²+a²)sin²θ + r²cos²θ
+                # = r² + a² sin²θ. An endpoint inside a sphere requires
+                # ||p| − |c|| <= R (reverse triangle inequality).
+                n0 = jnp.sqrt(y[1] * y[1] + a * a * jnp.sin(y[2]) ** 2)
+                n1 = jnp.sqrt(y_new[1] * y_new[1] + a * a * jnp.sin(y_new[2]) ** 2)
+                for sphere in spheres:
+                    c_norm = math.sqrt(
+                        sphere.cx**2 + sphere.cy**2 + sphere.cz**2
+                    )
+                    near = (jnp.abs(n0 - c_norm) <= sphere.radius) | (
+                        jnp.abs(n1 - c_norm) <= sphere.radius
+                    )
+                    cand = cand | (active & near)
+            if vols:
+                # The embedded chord's z is linear between z0 and z1, so
+                # band overlap at the endpoints is exact & necessary for
+                # every boundary root (caps and walls all lie in |z|<=cap).
+                zmin = jnp.minimum(z0, z1)
+                zmax = jnp.maximum(z0, z1)
+                for vs in vols:
+                    cand = cand | (active & (zmin <= vs.cap_h) & (zmax >= -vs.cap_h))
+
+            def _do_stores(ev):
+                ev_kind, ev_data, ev_count, ev_ovf = ev
+                p_prev = _bl_momentum(radius, a, e, l_z, y)
+                p_new = _bl_momentum(radius, a, e, l_z, y_new)
+                # Per-step KS Cartesian embedding of the segment endpoints —
+                # crossing tests run on the embedded chord, exactly like the
+                # lax path's per-segment conversion (integrator.py/chart.py).
+                sp0, cp0 = jnp.sin(y[3]), jnp.cos(y[3])
+                sp1, cp1 = jnp.sin(y_new[3]), jnp.cos(y_new[3])
+                st0, ct0 = jnp.sin(y[2]), jnp.cos(y[2])
+                st1, ct1 = jnp.sin(y_new[2]), jnp.cos(y_new[2])
+                s3 = jnp.stack(
+                    [
+                        (y[1] * cp0 - a * sp0) * st0,
+                        (y[1] * sp0 + a * cp0) * st0,
+                        y[1] * ct0,
+                    ],
+                    axis=0,
+                )
+                e3 = jnp.stack(
+                    [
+                        (y_new[1] * cp1 - a * sp1) * st1,
+                        (y_new[1] * sp1 + a * cp1) * st1,
+                        y_new[1] * ct1,
+                    ],
+                    axis=0,
+                )
+                if discs:
+                    # Equatorial crossing in BL: θ through π/2 (z = r cosθ).
+                    d_prev = y[2] - half_pi
+                    d_new = y_new[2] - half_pi
+                    crossing = (d_prev * d_new < 0.0) & active
+                    frac = d_prev / (
+                        d_prev - d_new + jnp.where(d_prev == d_new, 1.0, 0.0)
+                    )
+                    r_c = y[1] + frac * (y_new[1] - y[1])
+                    phi_c = y[3] + frac * (y_new[3] - y[3])
+                    sp = jnp.sin(phi_c)
+                    cp = jnp.cos(phi_c)
+                    px = r_c * cp - a * sp  # KS embedding at θ = π/2
+                    py = r_c * sp + a * cp
+                    p_interp = p_prev + frac[None] * (p_new - p_prev)
+                    seg = e3 - s3
+                    ev_kind, ev_data, ev_count, ev_ovf = _store_disc_events(
+                        discs, crossing, px, py, p_interp, seg,
+                        ev_kind, ev_data, ev_count, ev_ovf,
+                    )
+                if spheres:
+                    ev_kind, ev_data, ev_count, ev_ovf = _store_sphere_events(
+                        spheres, active, s3, e3, p_prev, p_new,
+                        ev_kind, ev_data, ev_count, ev_ovf,
+                    )
+                if vols:
+                    # Bounding-volume boundary crossings only (never stops
+                    # the lane; volumetric scenes run with opaque_stop off).
+                    ev_kind, ev_data, ev_count, ev_ovf = _store_vol_events(
+                        vols, active, s3, e3, p_prev, p_new,
+                        ev_kind, ev_data, ev_count, ev_ovf,
+                    )
+                return ev_kind, ev_data, ev_count, ev_ovf
+
+            ev_kind, ev_data, ev_count, ev_ovf = jax.lax.cond(
+                jnp.any(cand),
+                _do_stores,
+                lambda ev: ev,
+                (ev_kind, ev_data, ev_count, ev_ovf),
             )
         if opaque_stop and (discs or spheres):
             # All textures opaque: first event saturates the fold (see the KS
