@@ -367,17 +367,21 @@ META_ROWS = 16  # sublane-tile-aligned (int32 tile is 8 rows)
 
 def _march_kernel(
     y_ref,
+    meta_in_ref,  # resume metadata (fresh init rows for a new march)
+    ev_in_ref,  # resume event payloads (zeros for a new march)
     param_ref,  # SMEM [8,1]: radius, a, horizon_eps, h0, max_radius, h_min_frac, r_ref, _
     y_out_ref,
     meta_ref,
     ev_data_ref,
     *,
-    max_steps: int,
+    attempts: int,
+    budget_steps: int,
     discs: tuple,
     spheres: tuple = (),
     vols: tuple = (),
     r_safe: float = 0.0,
     opaque_stop: bool = False,
+    finalize: bool = True,
 ):
     radius = param_ref[0, 0]
     a = param_ref[1, 0]
@@ -393,25 +397,22 @@ def _march_kernel(
     r_plus = m + jnp.sqrt(jnp.maximum(m * m - a * a, 0.0))
     max_radius_sq = max_radius * max_radius
 
-    meta0 = jnp.concatenate(
-        [
-            jnp.zeros((3,) + tile, jnp.int32),  # stop, steps, count
-            jnp.full((MAX_EVENTS,) + tile, -1, jnp.int32),  # ev kinds
-            jnp.zeros((META_ROWS - 3 - MAX_EVENTS,) + tile, jnp.int32),  # ovf + spare
-        ],
-        axis=0,
-    )
+    # Per-lane steps / stop / event buffers RESUME from the inputs: the
+    # driver's phased path (fast_path.march_phased) marches `attempts`
+    # iterations, compacts still-running lanes host-side, and feeds the
+    # outputs straight back in — the kernel-level requeue that lets the
+    # cost sort compose with true compaction at 1e6-step budgets.
     carry0 = (
         y0,
-        meta0,
-        jnp.zeros((MAX_EVENTS * EVENT_WIDTH,) + tile, y0.dtype),  # ev payloads
-        jnp.zeros((), jnp.int32),  # iteration
+        meta_in_ref[:, :, :],
+        ev_in_ref[:, :, :],
+        jnp.zeros((), jnp.int32),  # iteration within THIS phase
     )
 
     def cond(c):
         _, meta, _, it = c
         return jnp.logical_and(
-            jnp.any(meta[META_STOP] == integ.RUNNING), it < max_steps
+            jnp.any(meta[META_STOP] == integ.RUNNING), it < attempts
         )
 
     def body(c):
@@ -476,8 +477,8 @@ def _march_kernel(
         rho_sq = y_new[1] ** 2 + y_new[2] ** 2 + y_new[3] ** 2
         escaped = rho_sq > max_radius_sq
         steps_new = steps + active.astype(jnp.int32)
-        trapped = (steps_new >= max_steps - 1) & (r_new < 5.0 * radius)
-        budget = steps_new >= max_steps - 1
+        trapped = (steps_new >= budget_steps - 1) & (r_new < 5.0 * radius)
+        budget = steps_new >= budget_steps - 1
 
         code = jnp.full(tile, integ.RUNNING, jnp.int32)
         code = jnp.where(~mom_finite, integ.NAN, code)
@@ -594,13 +595,44 @@ def _march_kernel(
         return (y_new, meta_new, ev_data, it + 1)
 
     y_f, meta_f, ev_data_f, _ = jax.lax.while_loop(cond, body, carry0)
-    stop_f = jnp.where(
-        meta_f[META_STOP] == integ.RUNNING, integ.BUDGET, meta_f[META_STOP]
-    )
-    meta_f = jnp.concatenate([stop_f[None], meta_f[1:]], axis=0)
+    if finalize:
+        stop_f = jnp.where(
+            meta_f[META_STOP] == integ.RUNNING, integ.BUDGET, meta_f[META_STOP]
+        )
+        meta_f = jnp.concatenate([stop_f[None], meta_f[1:]], axis=0)
     y_out_ref[:, :, :] = y_f
     meta_ref[:, :, :] = meta_f
     ev_data_ref[:, :, :] = ev_data_f
+
+
+def _init_meta_ev(n, dtype, resume):
+    """[META_ROWS, n] metadata + [K·W, n] event payloads: fresh buffers, or
+    rebuilt from a previous march's output tuple (kernel-level requeue)."""
+    if resume is None:
+        meta = jnp.concatenate(
+            [
+                jnp.zeros((3, n), jnp.int32),  # stop, steps, count
+                jnp.full((MAX_EVENTS, n), -1, jnp.int32),  # ev kinds
+                jnp.zeros((META_ROWS - 3 - MAX_EVENTS, n), jnp.int32),
+            ],
+            axis=0,
+        )
+        ev = jnp.zeros((MAX_EVENTS * EVENT_WIDTH, n), dtype)
+        return meta, ev
+    _, stop, steps, ev_kind, ev_data, ev_count, ev_ovf = resume
+    meta = jnp.concatenate(
+        [
+            stop[None].astype(jnp.int32),
+            steps[None].astype(jnp.int32),
+            ev_count[None].astype(jnp.int32),
+            ev_kind.T.astype(jnp.int32),
+            ev_ovf[None].astype(jnp.int32),
+            jnp.zeros((META_ROWS - 4 - MAX_EVENTS, n), jnp.int32),
+        ],
+        axis=0,
+    )
+    ev = ev_data.reshape(n, MAX_EVENTS * EVENT_WIDTH).T
+    return meta, ev
 
 
 def kerr_rk4_march(
@@ -619,20 +651,36 @@ def kerr_rk4_march(
     r_safe: float = 0.0,
     opaque_stop: bool = False,
     interpret: bool = False,
+    attempts: int | None = None,
+    resume=None,
+    finalize: bool = True,
 ):
     """March N rays; returns an integrator.IntegrationResult-compatible
     tuple of numpy-friendly arrays (see integrator.py for field meaning).
 
     r_safe > 0 enables far-field escape acceleration (geometric half-gap
     steps for outward lanes beyond r_safe); opaque_stop stops a lane at its
-    first recorded event (exact when every object texture is opaque)."""
+    first recorded event (exact when every object texture is opaque).
+
+    Phased requeue: `attempts` bounds THIS call's in-kernel iterations
+    (default: the full max_steps budget); `resume` is a previous call's
+    output tuple to continue from (per-lane steps/events/stop carry over,
+    and max_steps stays the TOTAL per-lane classification budget);
+    finalize=False leaves unfinished lanes RUNNING instead of BUDGET."""
     n = y0.shape[0]
     assert n % LANE_TILE == 0, f"N must be a multiple of {LANE_TILE}"
     dtype = y0.dtype
+    if attempts is None:
+        attempts = max_steps
+    if resume is not None:
+        y0 = resume[0]
     # [N, 8] → (8, N//LANE, LANE): middle-axis rows of 8 form one (SUB, LANE)
     # tile per component per 1024-ray block; ray order stays contiguous per
     # block so the driver's cost sort keeps grouping slow lanes together.
     y_t = y0.T.reshape(8, n // LANE, LANE)
+    meta_in, ev_in = _init_meta_ev(n, dtype, resume)
+    meta_in = meta_in.reshape(META_ROWS, n // LANE, LANE)
+    ev_in = ev_in.reshape(MAX_EVENTS * EVENT_WIDTH, n // LANE, LANE)
 
     params = jnp.array(
         [
@@ -655,18 +703,22 @@ def kerr_rk4_march(
 
     kernel = functools.partial(
         _march_kernel,
-        max_steps=max_steps,
+        attempts=int(attempts),
+        budget_steps=max_steps,
         discs=tuple(discs),
         spheres=tuple(spheres),
         vols=tuple(vols),
         r_safe=float(r_safe),
         opaque_stop=bool(opaque_stop),
+        finalize=bool(finalize),
     )
     y_f, meta, ev_data = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             lane_spec(8),
+            lane_spec(META_ROWS),
+            lane_spec(MAX_EVENTS * EVENT_WIDTH),
             pl.BlockSpec((8, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=[
@@ -680,7 +732,7 @@ def kerr_rk4_march(
             jax.ShapeDtypeStruct((MAX_EVENTS * EVENT_WIDTH, n // LANE, LANE), dtype),
         ],
         interpret=interpret,
-    )(y_t, params)
+    )(y_t, meta_in, ev_in, params)
 
     y_f = y_f.reshape(8, n)
     meta = meta.reshape(META_ROWS, n)
@@ -735,16 +787,20 @@ def _bl_momentum(r_s, a, e, l_z, y):
 def _bl_march_kernel(
     y_ref,
     consts_ref,  # VMEM [3 (padded to 8), TILE]: E, L_z, Q per lane
+    meta_in_ref,  # resume metadata (fresh init rows for a new march)
+    ev_in_ref,  # resume event payloads (zeros for a new march)
     param_ref,  # SMEM [8,1]: radius, a, horizon_eps, h0, max_radius, h_min_frac, r_ref, _
     y_out_ref,
     meta_ref,
     ev_data_ref,
     *,
-    max_steps: int,
+    attempts: int,
+    budget_steps: int,
     discs: tuple,
     spheres: tuple = (),
     vols: tuple = (),
     opaque_stop: bool = False,
+    finalize: bool = True,
 ):
     radius = param_ref[0, 0]
     a = param_ref[1, 0]
@@ -769,25 +825,17 @@ def _bl_march_kernel(
     # orbits.
     inv_e = 1.0 / jnp.maximum(jnp.abs(e), 1e-12)
 
-    meta0 = jnp.concatenate(
-        [
-            jnp.zeros((3,) + tile, jnp.int32),
-            jnp.full((MAX_EVENTS,) + tile, -1, jnp.int32),
-            jnp.zeros((META_ROWS - 3 - MAX_EVENTS,) + tile, jnp.int32),
-        ],
-        axis=0,
-    )
     carry0 = (
         y0,
-        meta0,
-        jnp.zeros((MAX_EVENTS * EVENT_WIDTH,) + tile, y0.dtype),
-        jnp.zeros((), jnp.int32),
+        meta_in_ref[:, :, :],
+        ev_in_ref[:, :, :],
+        jnp.zeros((), jnp.int32),  # iteration within THIS phase
     )
 
     def cond(c):
         _, meta, _, it = c
         return jnp.logical_and(
-            jnp.any(meta[META_STOP] == integ.RUNNING), it < max_steps
+            jnp.any(meta[META_STOP] == integ.RUNNING), it < attempts
         )
 
     def body(c):
@@ -831,8 +879,8 @@ def _bl_march_kernel(
         horizon = r_new <= r_plus + horizon_eps
         escaped = r_new * r_new > max_radius_sq
         steps_new = steps + active.astype(jnp.int32)
-        trapped = (steps_new >= max_steps - 1) & (r_new < 5.0 * radius)
-        budget = steps_new >= max_steps - 1
+        trapped = (steps_new >= budget_steps - 1) & (r_new < 5.0 * radius)
+        budget = steps_new >= budget_steps - 1
 
         code = jnp.full(tile, integ.RUNNING, jnp.int32)
         code = jnp.where(~mom_finite, integ.NAN, code)
@@ -967,10 +1015,11 @@ def _bl_march_kernel(
         return (y_new, meta_new, ev_data, it + 1)
 
     y_f, meta_f, ev_data_f, _ = jax.lax.while_loop(cond, body, carry0)
-    stop_f = jnp.where(
-        meta_f[META_STOP] == integ.RUNNING, integ.BUDGET, meta_f[META_STOP]
-    )
-    meta_f = jnp.concatenate([stop_f[None], meta_f[1:]], axis=0)
+    if finalize:
+        stop_f = jnp.where(
+            meta_f[META_STOP] == integ.RUNNING, integ.BUDGET, meta_f[META_STOP]
+        )
+        meta_f = jnp.concatenate([stop_f[None], meta_f[1:]], axis=0)
     y_out_ref[:, :, :] = y_f
     meta_ref[:, :, :] = meta_f
     ev_data_ref[:, :, :] = ev_data_f
@@ -994,13 +1043,24 @@ def kerr_bl_rk4_march(
     r_ref_scale: float = 10.0,
     opaque_stop: bool = False,
     interpret: bool = False,
+    attempts: int | None = None,
+    resume=None,
+    finalize: bool = True,
 ):
     """Carter-separated Mino-time RK4 march (the reference's fast geometry,
-    ~8-9× cheaper RHS than the KS Hamiltonian)."""
+    ~8-9× cheaper RHS than the KS Hamiltonian). attempts/resume/finalize:
+    phased requeue, see kerr_rk4_march."""
     n = y0.shape[0]
     assert n % LANE_TILE == 0, f"N must be a multiple of {LANE_TILE}"
     dtype = y0.dtype
+    if attempts is None:
+        attempts = max_steps
+    if resume is not None:
+        y0 = resume[0]
     y_t = y0.T.reshape(8, n // LANE, LANE)
+    meta_in, ev_in = _init_meta_ev(n, dtype, resume)
+    meta_in = meta_in.reshape(META_ROWS, n // LANE, LANE)
+    ev_in = ev_in.reshape(MAX_EVENTS * EVENT_WIDTH, n // LANE, LANE)
     consts = jnp.concatenate(
         [e[None, :], l_z[None, :], q[None, :], jnp.zeros((5, n), dtype)], axis=0
     ).reshape(8, n // LANE, LANE)
@@ -1025,11 +1085,13 @@ def kerr_bl_rk4_march(
     )
     kernel = functools.partial(
         _bl_march_kernel,
-        max_steps=max_steps,
+        attempts=int(attempts),
+        budget_steps=max_steps,
         discs=tuple(discs),
         spheres=tuple(spheres),
         vols=tuple(vols),
         opaque_stop=bool(opaque_stop),
+        finalize=bool(finalize),
     )
     y_f, meta, ev_data = pl.pallas_call(
         kernel,
@@ -1037,6 +1099,8 @@ def kerr_bl_rk4_march(
         in_specs=[
             lane_spec(8),
             lane_spec(8),
+            lane_spec(META_ROWS),
+            lane_spec(MAX_EVENTS * EVENT_WIDTH),
             pl.BlockSpec((8, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=[
@@ -1050,7 +1114,7 @@ def kerr_bl_rk4_march(
             jax.ShapeDtypeStruct((MAX_EVENTS * EVENT_WIDTH, n // LANE, LANE), dtype),
         ],
         interpret=interpret,
-    )(y_t, consts, params)
+    )(y_t, consts, meta_in, ev_in, params)
 
     y_f = y_f.reshape(8, n)
     meta = meta.reshape(META_ROWS, n)

@@ -8,6 +8,7 @@ and the alpha fold are the exact same deferred passes as the lax path.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 import numpy as np
@@ -73,19 +74,21 @@ def _texture_is_opaque(texture) -> bool:
     return False
 
 
-class KernelSpec:
+from typing import NamedTuple
+
+
+class KernelSpec(NamedTuple):
     """Static kernel configuration extracted from a CONCRETE scene (fails on
     tracers): object specs, the far-field safe radius, and whether every
-    object is opaque (first hit saturates the alpha fold)."""
+    object is opaque (first hit saturates the alpha fold). A NamedTuple of
+    NamedTuples/floats — hashable by value, so it can be a jit static arg
+    (the phased path keys compiles on it)."""
 
-    __slots__ = ("discs", "spheres", "vols", "r_safe", "opaque")
-
-    def __init__(self, discs, spheres, vols, r_safe, opaque):
-        self.discs = discs
-        self.spheres = spheres
-        self.vols = vols
-        self.r_safe = r_safe
-        self.opaque = opaque
+    discs: tuple
+    spheres: tuple
+    vols: tuple
+    r_safe: float
+    opaque: bool
 
 
 def scene_kernel_spec(scene) -> KernelSpec:
@@ -158,6 +161,19 @@ def make_fast_tracer(concrete_scene, mesh=None):
         raise ValueError("scene shape unsupported by the pallas fast path")
     spec = scene_kernel_spec(concrete_scene)
 
+    if mesh is None and _kernel_budget(concrete_scene) > PHASED_THRESHOLD:
+        # Large budgets: phased march with active-lane compaction (an eager
+        # host loop around jitted pieces — see march_phased). Unsharded only;
+        # the sharded path stays single-shot (host compaction is per-shard).
+        rays_jit = jax.jit(cam.pixel_rays)
+
+        def phased(scene, row_f, col_f):
+            x, p = rays_jit(scene.camera, row_f, col_f)
+            s = trace_rays_fast_phased(scene, x, p, spec)
+            return s.color, s.ray_class, s.stop_code, s.ev_overflow
+
+        return phased
+
     def body(scene, row_f, col_f):
         x, p = cam.pixel_rays(scene.camera, row_f, col_f)
         s = trace_rays_fast(scene, x, p, spec=spec)
@@ -180,31 +196,25 @@ def make_fast_tracer(concrete_scene, mesh=None):
     return jax.jit(body)
 
 
-def _march_scene(scene, positions, momenta, interpret: bool = False, spec=None):
-    """Shared kernel march: cost-sort, pad, march, wrap as IntegrationResult.
-    Returns (res, freq, solver, inverse_order, n) — everything still in the
-    SORTED/PADDED lane order; callers unsort with [inverse][:n]."""
-    # With a precomputed spec the support check already ran on the concrete
-    # scene (make_fast_tracer / make_fast_geo_tracer); re-checking here would
-    # read concrete object fields (volumetric axis) off a traced scene.
-    if spec is None and not supports_scene(scene):
-        raise ValueError(
-            "pallas fast path supports Kerr/KerrBL/Schwarzschild with "
-            "discs/spheres (+ z-axis volumetrics on Kerr) only"
-        )
+def _march_geometry_of(scene):
     geometry = scene.geometry
     if isinstance(geometry, Schwarzschild):
         # The spherical chart IS the a = 0 BL chart: positions/momenta carry
         # over verbatim and the Mino-time kernel integrates the same
-        # geodesics. Shading below still uses the original scene geometry.
-        march_geometry = KerrBL(
+        # geodesics. Shading still uses the original scene geometry.
+        return KerrBL(
             radius=geometry.radius,
             a=jnp.zeros_like(geometry.radius),
             horizon_epsilon=geometry.horizon_epsilon,
         )
-    else:
-        march_geometry = geometry
-    cfg = scene.integration
+    return geometry
+
+
+def _prepare_march(scene, positions, momenta):
+    """Pad to the lane tile, cost-sort, build solver/initial state/frequency
+    data. Everything returned is in SORTED/PADDED lane order; callers unsort
+    with [inverse][:n]."""
+    march_geometry = _march_geometry_of(scene)
 
     n = positions.shape[0]
     pad = (-n) % gp.LANE_TILE
@@ -230,17 +240,30 @@ def _march_scene(scene, positions, momenta, interpret: bool = False, spec=None):
     # Shading scalars use the SCENE geometry (its signature convention):
     # every redshift is a same-metric energy ratio, so the overall metric
     # sign between (+,−,−,−) Schwarzschild and (−,+,+,+) BL cancels.
-    freq = ray_frequency_data(geometry, positions, momenta, scene.camera.velocity)
+    freq = ray_frequency_data(scene.geometry, positions, momenta, scene.camera.velocity)
+    return march_geometry, solver, y0, freq, inverse
 
-    if spec is None:
-        spec = scene_kernel_spec(scene)
-    discs, spheres = spec.discs, spec.spheres
-    # Step caps are set by the reference's H_MAX = 1.0 rationale, NOT the
-    # scene step_size: step_size is only RKF45's initial h, and the adaptive
-    # controller grows to H_MAX in the far field anyway. The kernels' near-
-    # horizon shrink governs accuracy; h0 = H_MAX quarters the step count at
-    # unchanged stop/color parity (see /tmp h0 sweep: 0.993 agreement,
-    # identical color error at h0 = 1.0 vs 0.25).
+
+def _run_kernel(
+    march_geometry,
+    cfg,
+    solver,
+    y0,
+    spec,
+    interpret=False,
+    attempts=None,
+    resume=None,
+    finalize=True,
+):
+    """Dispatch the KS or BL/Mino kernel; returns the raw 7-tuple state
+    (y, stop, steps, ev_kind, ev_data, ev_count, ev_overflow) in lane order.
+
+    Step caps are set by the reference's H_MAX = 1.0 rationale, NOT the
+    scene step_size: step_size is only RKF45's initial h, and the adaptive
+    controller grows to H_MAX in the far field anyway. The kernels' near-
+    horizon shrink governs accuracy; h0 = H_MAX quarters the step count at
+    unchanged stop/color parity (see docs/fastpath_accuracy.md h0 sweep:
+    0.993 agreement, identical color error at h0 = 1.0 vs 0.25)."""
     if isinstance(march_geometry, KerrBL):
         # Mino-time: far-field spatial step ≈ h0·r_ref² = 1.0 at h0 = 0.01.
         # Budget 2×: the fixed Mino step is finer than RKF45's accepted
@@ -249,7 +272,7 @@ def _march_scene(scene, positions, momenta, interpret: bool = False, spec=None):
         # the lax path resolves HORIZON/CELESTIAL (measured: 2× restores
         # 100% stop agreement on the 16×32 probe, docs/fastpath_accuracy.md;
         # only never-stopping lanes ever consume the extra budget).
-        y_f, stop, steps, ev_kind, ev_data, ev_count, ev_overflow = gp.kerr_bl_rk4_march(
+        return gp.kerr_bl_rk4_march(
             march_geometry.radius,
             march_geometry.a,
             march_geometry.horizon_epsilon,
@@ -260,30 +283,38 @@ def _march_scene(scene, positions, momenta, interpret: bool = False, spec=None):
             h0=0.01,
             max_steps=2 * cfg.max_steps,
             max_radius=cfg.max_radius,
-            discs=discs,
-            spheres=spheres,
+            discs=spec.discs,
+            spheres=spec.spheres,
             vols=spec.vols,
             opaque_stop=spec.opaque,
             interpret=interpret,
+            attempts=attempts,
+            resume=resume,
+            finalize=finalize,
         )
-    else:
-        y_f, stop, steps, ev_kind, ev_data, ev_count, ev_overflow = gp.kerr_rk4_march(
-            march_geometry.radius,
-            march_geometry.a,
-            march_geometry.horizon_epsilon,
-            y0,
-            h0=1.0,
-            max_steps=cfg.max_steps,
-            max_radius=cfg.max_radius,
-            discs=discs,
-            spheres=spheres,
-            vols=spec.vols,
-            r_safe=spec.r_safe,
-            opaque_stop=spec.opaque,
-            interpret=interpret,
-        )
+    return gp.kerr_rk4_march(
+        march_geometry.radius,
+        march_geometry.a,
+        march_geometry.horizon_epsilon,
+        y0,
+        h0=1.0,
+        max_steps=cfg.max_steps,
+        max_radius=cfg.max_radius,
+        discs=spec.discs,
+        spheres=spec.spheres,
+        vols=spec.vols,
+        r_safe=spec.r_safe,
+        opaque_stop=spec.opaque,
+        interpret=interpret,
+        attempts=attempts,
+        resume=resume,
+        finalize=finalize,
+    )
 
-    res = integ.IntegrationResult(
+
+def _state_to_result(state):
+    y_f, stop, steps, ev_kind, ev_data, ev_count, ev_overflow = state
+    return integ.IntegrationResult(
         y=y_f,
         affine=jnp.zeros((y_f.shape[0],), y_f.dtype),
         steps=steps,
@@ -297,20 +328,31 @@ def _march_scene(scene, positions, momenta, interpret: bool = False, spec=None):
         h=jnp.zeros((y_f.shape[0],), y_f.dtype),
         retries=jnp.zeros((y_f.shape[0],), jnp.int32),
     )
-    return res, freq, solver, inverse, n
 
 
-def trace_rays_fast(scene, positions, momenta, interpret: bool = False, spec=None):
-    """Drop-in for scene.trace_rays on supported scenes (see supports_scene).
+def _march_scene(scene, positions, momenta, interpret: bool = False, spec=None):
+    """Shared single-shot kernel march: cost-sort, pad, march, wrap as
+    IntegrationResult. Returns (res, freq, solver, inverse_order, n)."""
+    # With a precomputed spec the support check already ran on the concrete
+    # scene (make_fast_tracer / make_fast_geo_tracer); re-checking here would
+    # read concrete object fields (volumetric axis) off a traced scene.
+    if spec is None and not supports_scene(scene):
+        raise ValueError(
+            "pallas fast path supports Kerr/KerrBL/Schwarzschild with "
+            "discs/spheres (+ z-axis volumetrics on Kerr) only"
+        )
+    if spec is None:
+        spec = scene_kernel_spec(scene)
+    n = positions.shape[0]
+    march_geometry, solver, y0, freq, inverse = _prepare_march(scene, positions, momenta)
+    state = _run_kernel(
+        march_geometry, scene.integration, solver, y0, spec, interpret=interpret
+    )
+    return _state_to_result(state), freq, solver, inverse, n
 
-    N is padded to the kernel lane tile; fixed-step RK4 with radius-scaled h
-    (h0 = 5× the scene step_size — RK4's local error is ~h⁵ vs the RKF45
-    controller's accepted ε, and the kernel shrinks h near the hole).
 
-    The kernel configuration (disc bounds, far-field radius, opacity) must be
-    STATIC; when called with a traced scene (under jit), precompute it from
-    the concrete scene and pass `spec` (see make_fast_tracer)."""
-    res, freq, solver, inverse, n = _march_scene(scene, positions, momenta, interpret, spec)
+def _finish_samples(scene, res, freq, solver, inverse, n):
+    """Shade + fold a marched IntegrationResult into RaySamples (unsorted)."""
     colors, shade_fail = scn._shade_events(scene, freq, res)
     stop_shaded = jnp.where(shade_fail, integ.STEP_FAILED, res.stop_code)
     celestial = scn._celestial_color(scene, freq, solver, res)
@@ -327,12 +369,8 @@ def trace_rays_fast(scene, positions, momenta, interpret: bool = False, spec=Non
     )
 
 
-def trace_geometric_fast(scene, positions, momenta, interpret: bool = False, spec=None):
-    """Kernel-backed scene.trace_geometric: integration + event detection +
-    surface/celestial shading WITHOUT volumetric raymarching. The driver's
-    split path raymarches the (compacted) volumetric event lanes and folds,
-    exactly as for the lax geometric pass (raytracer._trace_chunk_split)."""
-    res, freq, solver, inverse, n = _march_scene(scene, positions, momenta, interpret, spec)
+def _finish_geo(scene, res, freq, solver, inverse, n):
+    """Shade (sans volumetric raymarch) into a GeoTrace (unsorted)."""
     colors, shade_fail = scn._shade_events(scene, freq, res, include_volumetric=False)
     stop_shaded = jnp.where(shade_fail, integ.STEP_FAILED, res.stop_code)
     celestial = scn._celestial_color(scene, freq, solver, res)
@@ -350,6 +388,166 @@ def trace_geometric_fast(scene, positions, momenta, interpret: bool = False, spe
     )
 
 
+def trace_rays_fast(scene, positions, momenta, interpret: bool = False, spec=None):
+    """Drop-in for scene.trace_rays on supported scenes (see supports_scene).
+
+    N is padded to the kernel lane tile; fixed-step RK4 with radius-scaled h.
+
+    The kernel configuration (disc bounds, far-field radius, opacity) must be
+    STATIC; when called with a traced scene (under jit), precompute it from
+    the concrete scene and pass `spec` (see make_fast_tracer)."""
+    res, freq, solver, inverse, n = _march_scene(scene, positions, momenta, interpret, spec)
+    return _finish_samples(scene, res, freq, solver, inverse, n)
+
+
+def trace_geometric_fast(scene, positions, momenta, interpret: bool = False, spec=None):
+    """Kernel-backed scene.trace_geometric: integration + event detection +
+    surface/celestial shading WITHOUT volumetric raymarching. The driver's
+    split path raymarches the (compacted) volumetric event lanes and folds,
+    exactly as for the lax geometric pass (raytracer._trace_chunk_split)."""
+    res, freq, solver, inverse, n = _march_scene(scene, positions, momenta, interpret, spec)
+    return _finish_geo(scene, res, freq, solver, inverse, n)
+
+
+# ---------------------------------------------------------------------------
+# Phased kernel march with active-lane compaction (kernel-level requeue)
+# ---------------------------------------------------------------------------
+#
+# A kernel block marches until its SLOWEST lane stops; the cost sort groups
+# slow lanes into few blocks, but within those blocks most lanes still finish
+# early and idle as masked work for up to 10⁶ steps (the #1 term in the
+# roofline gap, BASELINE.md). Phased marching fixes this: march every block a
+# bounded number of attempts, sync ONLY the [N] stop codes to the host,
+# gather the still-running lanes into a dense power-of-two bucket, and resume
+# just that bucket (the kernels' resume inputs carry per-lane steps/events).
+# Phase budgets double up to a cap, so compiles stay bounded and the phase
+# count stays logarithmic in the budget.
+
+import functools as _functools
+
+KERNEL_PHASE0 = 4096  # first-phase attempts (most lanes stop well before)
+KERNEL_PHASE_CAP = 32768  # cap on per-phase attempts (bounds compile count)
+PHASED_THRESHOLD = 2 * KERNEL_PHASE0  # budgets above this go phased
+
+
+def _kernel_budget(scene) -> int:
+    """Total per-lane classification budget the kernel dispatch will use."""
+    mult = 2 if isinstance(_march_geometry_of(scene), KerrBL) else 1
+    return mult * scene.integration.max_steps
+
+
+@_functools.partial(jax.jit, static_argnames=("spec", "attempts", "interpret"))
+def _phase0_jit(scene, positions, momenta, spec, attempts, interpret=False):
+    march_geometry, solver, y0, freq, inverse = _prepare_march(scene, positions, momenta)
+    state = _run_kernel(
+        march_geometry,
+        scene.integration,
+        solver,
+        y0,
+        spec,
+        interpret=interpret,
+        attempts=attempts,
+        finalize=False,
+    )
+    return march_geometry, solver, freq, inverse, state
+
+
+@_functools.partial(jax.jit, static_argnames=("spec", "attempts", "interpret"))
+def _phase_cont_jit(march_geometry, cfg, sub_solver, sub_state, spec, attempts, interpret=False):
+    return _run_kernel(
+        march_geometry,
+        cfg,
+        sub_solver,
+        sub_state[0],
+        spec,
+        interpret=interpret,
+        attempts=attempts,
+        resume=sub_state,
+        finalize=False,
+    )
+
+
+@jax.jit
+def _gather_phase(state, solver, idx):
+    n = state[0].shape[0]
+    take = lambda a: a[idx] if (hasattr(a, "ndim") and a.ndim >= 1 and a.shape[0] == n) else a
+    return jax.tree.map(lambda a: a[idx], state), jax.tree.map(take, solver)
+
+
+@jax.jit
+def _scatter_phase(state, sub, idx):
+    # Duplicate (padding) indices march identically from identical inputs,
+    # so the last-writer-wins scatter is well-defined.
+    return jax.tree.map(lambda a, b: a.at[idx].set(b), state, sub)
+
+
+@_functools.partial(jax.jit, static_argnames=("geo_only", "n"))
+def _phase_finish_jit(scene, state, freq, solver, inverse, geo_only, n):
+    y_f, stop, steps, ev_kind, ev_data, ev_count, ev_overflow = state
+    stop = jnp.where(stop == integ.RUNNING, integ.BUDGET, stop)
+    res = _state_to_result((y_f, stop, steps, ev_kind, ev_data, ev_count, ev_overflow))
+    if geo_only:
+        return _finish_geo(scene, res, freq, solver, inverse, n)
+    return _finish_samples(scene, res, freq, solver, inverse, n)
+
+
+def march_phased(
+    scene,
+    positions,
+    momenta,
+    spec,
+    geo_only=False,
+    interpret=False,
+    phase0=KERNEL_PHASE0,
+    phase_cap=KERNEL_PHASE_CAP,
+):
+    """Eager phased-march orchestrator (host compaction loop between jitted
+    pieces — cannot live under one jit). Per-phase host traffic is one [N]
+    int32 stop vector; state/events stay device-resident throughout."""
+    import numpy as np
+
+    n = positions.shape[0]
+    budget = _kernel_budget(scene)
+    march_geometry, solver, freq, inverse, state = _phase0_jit(
+        scene, positions, momenta, spec=spec, attempts=min(phase0, budget), interpret=interpret
+    )
+    attempts = phase0
+    # Safety bound: every active lane gains `attempts` steps per phase, so
+    # budget/phase0 phases strictly suffice for classification.
+    for _ in range(2 + budget // max(phase0, 1)):
+        stop_h = np.asarray(jax.device_get(state[1]))
+        active = np.nonzero(stop_h == integ.RUNNING)[0]
+        if active.size == 0:
+            break
+        attempts = min(attempts * 2, phase_cap, budget)
+        bucket = gp.LANE_TILE
+        while bucket < active.size:
+            bucket *= 2
+        idx = jnp.asarray(
+            np.concatenate([active, np.full(bucket - active.size, active[0], active.dtype)])
+        )
+        sub_state, sub_solver = _gather_phase(state, solver, idx)
+        sub_out = _phase_cont_jit(
+            march_geometry,
+            scene.integration,
+            sub_solver,
+            sub_state,
+            spec=spec,
+            attempts=attempts,
+            interpret=interpret,
+        )
+        state = _scatter_phase(state, sub_out, idx)
+    return _phase_finish_jit(scene, state, freq, solver, inverse, geo_only=geo_only, n=n)
+
+
+def trace_rays_fast_phased(scene, positions, momenta, spec, interpret=False, **kw):
+    return march_phased(scene, positions, momenta, spec, geo_only=False, interpret=interpret, **kw)
+
+
+def trace_geometric_fast_phased(scene, positions, momenta, spec, interpret=False, **kw):
+    return march_phased(scene, positions, momenta, spec, geo_only=True, interpret=interpret, **kw)
+
+
 def make_fast_geo_tracer(concrete_scene):
     """jitted (scene, row_f, col_f) -> GeoTrace with the kernel spec baked
     static (see make_fast_tracer). Unsharded only — the split path's
@@ -361,6 +559,15 @@ def make_fast_geo_tracer(concrete_scene):
     if not supports_scene(concrete_scene):
         raise ValueError("scene shape unsupported by the pallas fast path")
     spec = scene_kernel_spec(concrete_scene)
+
+    if _kernel_budget(concrete_scene) > PHASED_THRESHOLD:
+        rays_jit = jax.jit(cam.pixel_rays)
+
+        def phased(scene, row_f, col_f):
+            x, p = rays_jit(scene.camera, row_f, col_f)
+            return trace_geometric_fast_phased(scene, x, p, spec)
+
+        return phased
 
     def body(scene, row_f, col_f):
         x, p = cam.pixel_rays(scene.camera, row_f, col_f)

@@ -554,3 +554,47 @@ horizon_epsilon = 1e-4""",
     both = agree & (hit_ref == hit_fast)
     err = np.abs(tone(np.asarray(ref.color))[both] - tone(np.asarray(fast.color))[both])
     assert err.mean() < 1e-2
+
+
+def test_phased_march_matches_single_shot():
+    """Kernel-level requeue (fast_path.march_phased): tiny phases + host
+    compaction must reproduce the single-shot march exactly — the resumed
+    kernel continues each lane's identical fixed-step trajectory, only the
+    block scheduling differs."""
+    scene, x, p = flagship(8, 16)
+    spec = fast_path.scene_kernel_spec(scene)
+    single = fast_path.trace_rays_fast(scene, x, p, interpret=True, spec=spec)
+    phased = fast_path.trace_rays_fast_phased(
+        scene, x, p, spec, interpret=True, phase0=128, phase_cap=512
+    )
+    np.testing.assert_array_equal(
+        np.asarray(phased.stop_code), np.asarray(single.stop_code)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(phased.ray_class), np.asarray(single.ray_class)
+    )
+    np.testing.assert_array_equal(np.asarray(phased.steps), np.asarray(single.steps))
+    # rtol only: the phased finish is jitted while the single-shot reference
+    # here runs eagerly, and XLA fusion reassociates f32 shading arithmetic
+    # at the ULP level (HDR radiances are ~1e4, so atol is meaningless).
+    np.testing.assert_allclose(
+        np.asarray(phased.color), np.asarray(single.color), rtol=1e-4, atol=1e-6
+    )
+
+
+def test_phased_march_bl_kernel():
+    """Phased requeue through the BL/Mino kernel (per-lane conserved E/L_z/Q
+    must gather with the state into continuation buckets)."""
+    scene, x, p = kerr_bl_scene(8, 16)
+    spec = fast_path.scene_kernel_spec(scene)
+    single = fast_path.trace_rays_fast(scene, x, p, interpret=True, spec=spec)
+    phased = fast_path.trace_rays_fast_phased(
+        scene, x, p, spec, interpret=True, phase0=256, phase_cap=1024
+    )
+    np.testing.assert_array_equal(
+        np.asarray(phased.stop_code), np.asarray(single.stop_code)
+    )
+    np.testing.assert_array_equal(np.asarray(phased.steps), np.asarray(single.steps))
+    np.testing.assert_allclose(
+        np.asarray(phased.color), np.asarray(single.color), rtol=1e-9, atol=1e-12
+    )
