@@ -598,3 +598,40 @@ def test_phased_march_bl_kernel():
     np.testing.assert_allclose(
         np.asarray(phased.color), np.asarray(single.color), rtol=1e-9, atol=1e-12
     )
+
+
+def test_phased_geo_matches_single_shot():
+    """trace_geometric_fast_phased == trace_geometric_fast on a volumetric
+    Kerr scene (the hero-#5 shape rides the phased geometric pass at its
+    20k-step budget): identical events, payloads, stop codes, celestial."""
+    from gr_raytracer_tpu import config as cfgmod
+
+    cfg = cfgmod.parse_config(KERR_VOLUMETRIC_SCENE)
+    opts = cfgmod.RenderOptions(
+        width=16,
+        height=8,
+        max_steps=4000,
+        max_radius=30.0,
+        step_size=0.05,
+        camera_position=(-12.0, 0.0, -1.5),
+        theta=1.52,
+        psi=-1.57,
+    )
+    scene = cfgmod.create_scene(cfg, opts)
+    spec = fast_path.scene_kernel_spec(scene)
+    rr, cc = np.meshgrid(np.arange(8.0), np.arange(16.0), indexing="ij")
+    x, p = cam.pixel_rays(scene.camera, jnp.asarray(rr.ravel()), jnp.asarray(cc.ravel()))
+    single = fast_path.trace_geometric_fast(scene, x, p, interpret=True, spec=spec)
+    phased = fast_path.trace_geometric_fast_phased(
+        scene, x, p, spec, interpret=True, phase0=256, phase_cap=1024
+    )
+    np.testing.assert_array_equal(
+        np.asarray(phased.stop_code), np.asarray(single.stop_code)
+    )
+    np.testing.assert_array_equal(np.asarray(phased.ev_kind), np.asarray(single.ev_kind))
+    np.testing.assert_allclose(
+        np.asarray(phased.ev_data), np.asarray(single.ev_data), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(phased.celestial), np.asarray(single.celestial), rtol=1e-4, atol=1e-6
+    )
