@@ -161,10 +161,19 @@ def make_fast_tracer(concrete_scene, mesh=None):
         raise ValueError("scene shape unsupported by the pallas fast path")
     spec = scene_kernel_spec(concrete_scene)
 
-    if mesh is None and _kernel_budget(concrete_scene) > PHASED_THRESHOLD:
+    if _kernel_budget(concrete_scene) > PHASED_THRESHOLD:
         # Large budgets: phased march with active-lane compaction (an eager
-        # host loop around jitted pieces — see march_phased). Unsharded only;
-        # the sharded path stays single-shot (host compaction is per-shard).
+        # host loop around jitted pieces — see march_phased). With a mesh the
+        # chunk is split per device and the compaction loops interleave
+        # (march_phased_mesh); rays are independent, so no collectives.
+        if mesh is not None:
+
+            def phased_mesh(scene, row_f, col_f):
+                s = march_phased_mesh(scene, row_f, col_f, spec, mesh)
+                return s.color, s.ray_class, s.stop_code, s.ev_overflow
+
+            return phased_mesh
+
         rays_jit = jax.jit(cam.pixel_rays)
 
         def phased(scene, row_f, col_f):
@@ -491,6 +500,82 @@ def _phase_finish_jit(scene, state, freq, solver, inverse, geo_only, n):
     return _finish_samples(scene, res, freq, solver, inverse, n)
 
 
+class _PhasedRun:
+    """One chunk's phased march as a host-steppable state machine, so a
+    mesh driver can interleave several devices' compaction loops: every
+    dispatch is async — only step()'s stop-code device_get blocks, and only
+    on THIS run's device while the others keep computing."""
+
+    def __init__(self, scene, positions, momenta, spec, geo_only, interpret, phase0, phase_cap):
+        self.scene = scene
+        self.spec = spec
+        self.geo_only = geo_only
+        self.interpret = interpret
+        self.phase_cap = phase_cap
+        self.n = positions.shape[0]
+        self.budget = _kernel_budget(scene)
+        self.attempts = phase0
+        self.rounds_left = 2 + self.budget // max(phase0, 1)
+        (
+            self.march_geometry,
+            self.solver,
+            self.freq,
+            self.inverse,
+            self.state,
+        ) = _phase0_jit(
+            scene,
+            positions,
+            momenta,
+            spec=spec,
+            attempts=min(phase0, self.budget),
+            interpret=interpret,
+        )
+
+    def step(self) -> bool:
+        """Run one compaction round; True when the march is complete.
+        Safety bound: every active lane gains `attempts` steps per round,
+        so budget/phase0 rounds strictly suffice for classification."""
+        import numpy as np
+
+        if self.rounds_left <= 0:
+            return True
+        self.rounds_left -= 1
+        stop_h = np.asarray(jax.device_get(self.state[1]))
+        active = np.nonzero(stop_h == integ.RUNNING)[0]
+        if active.size == 0:
+            return True
+        self.attempts = min(self.attempts * 2, self.phase_cap, self.budget)
+        bucket = gp.LANE_TILE
+        while bucket < active.size:
+            bucket *= 2
+        idx = jnp.asarray(
+            np.concatenate([active, np.full(bucket - active.size, active[0], active.dtype)])
+        )
+        sub_state, sub_solver = _gather_phase(self.state, self.solver, idx)
+        sub_out = _phase_cont_jit(
+            self.march_geometry,
+            self.scene.integration,
+            sub_solver,
+            sub_state,
+            spec=self.spec,
+            attempts=self.attempts,
+            interpret=self.interpret,
+        )
+        self.state = _scatter_phase(self.state, sub_out, idx)
+        return False
+
+    def finish(self):
+        return _phase_finish_jit(
+            self.scene,
+            self.state,
+            self.freq,
+            self.solver,
+            self.inverse,
+            geo_only=self.geo_only,
+            n=self.n,
+        )
+
+
 def march_phased(
     scene,
     positions,
@@ -504,40 +589,63 @@ def march_phased(
     """Eager phased-march orchestrator (host compaction loop between jitted
     pieces — cannot live under one jit). Per-phase host traffic is one [N]
     int32 stop vector; state/events stay device-resident throughout."""
+    run = _PhasedRun(scene, positions, momenta, spec, geo_only, interpret, phase0, phase_cap)
+    while not run.step():
+        pass
+    return run.finish()
+
+
+def march_phased_mesh(
+    scene,
+    row_f,
+    col_f,
+    spec,
+    mesh,
+    geo_only=False,
+    interpret=False,
+    phase0=KERNEL_PHASE0,
+    phase_cap=KERNEL_PHASE_CAP,
+):
+    """Data-parallel phased march over a device mesh. Rays are independent,
+    so the mesh path is per-device orchestration, not SPMD: the chunk is
+    split evenly, each segment (scene copy + camera rays) is committed to
+    its device, and the per-device compaction loops are interleaved
+    round-robin — all kernel dispatches are async, so devices compute
+    concurrently while the host blocks on one run's stop codes at a time.
+    Zero collectives, matching SURVEY §2.5 (the only cross-ray data
+    dependence in the pipeline is tone mapping / AA, handled elsewhere)."""
     import numpy as np
 
-    n = positions.shape[0]
-    budget = _kernel_budget(scene)
-    march_geometry, solver, freq, inverse, state = _phase0_jit(
-        scene, positions, momenta, spec=spec, attempts=min(phase0, budget), interpret=interpret
-    )
-    attempts = phase0
-    # Safety bound: every active lane gains `attempts` steps per phase, so
-    # budget/phase0 phases strictly suffice for classification.
-    for _ in range(2 + budget // max(phase0, 1)):
-        stop_h = np.asarray(jax.device_get(state[1]))
-        active = np.nonzero(stop_h == integ.RUNNING)[0]
-        if active.size == 0:
-            break
-        attempts = min(attempts * 2, phase_cap, budget)
-        bucket = gp.LANE_TILE
-        while bucket < active.size:
-            bucket *= 2
-        idx = jnp.asarray(
-            np.concatenate([active, np.full(bucket - active.size, active[0], active.dtype)])
+    devs = list(mesh.devices.ravel())
+    rf = np.asarray(jax.device_get(row_f))
+    cf = np.asarray(jax.device_get(col_f))
+    n = rf.shape[0]
+    assert n % len(devs) == 0, "chunk must divide the mesh"
+    seg = n // len(devs)
+    rays_jit = jax.jit(_camera_rays)
+
+    runs = []
+    for i, dev in enumerate(devs):
+        scene_d = jax.device_put(scene, dev) if len(devs) > 1 else scene
+        rf_d = jax.device_put(jnp.asarray(rf[i * seg : (i + 1) * seg]), dev)
+        cf_d = jax.device_put(jnp.asarray(cf[i * seg : (i + 1) * seg]), dev)
+        x, p = rays_jit(scene_d.camera, rf_d, cf_d)
+        runs.append(
+            _PhasedRun(scene_d, x, p, spec, geo_only, interpret, phase0, phase_cap)
         )
-        sub_state, sub_solver = _gather_phase(state, solver, idx)
-        sub_out = _phase_cont_jit(
-            march_geometry,
-            scene.integration,
-            sub_solver,
-            sub_state,
-            spec=spec,
-            attempts=attempts,
-            interpret=interpret,
-        )
-        state = _scatter_phase(state, sub_out, idx)
-    return _phase_finish_jit(scene, state, freq, solver, inverse, geo_only=geo_only, n=n)
+    pending = list(runs)
+    while pending:
+        pending = [r for r in pending if not r.step()]
+    # finish() dispatches per device (async); pull to host and stitch —
+    # committed arrays on different devices cannot concat on-device.
+    outs = [jax.device_get(r.finish()) for r in runs]
+    return jax.tree.map(lambda *xs: jnp.asarray(np.concatenate(xs)), *outs)
+
+
+def _camera_rays(camera, row_f, col_f):
+    from gr_raytracer_tpu.rendering import camera as cam
+
+    return cam.pixel_rays(camera, row_f, col_f)
 
 
 def trace_rays_fast_phased(scene, positions, momenta, spec, interpret=False, **kw):

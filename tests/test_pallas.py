@@ -635,3 +635,38 @@ def test_phased_geo_matches_single_shot():
     np.testing.assert_allclose(
         np.asarray(phased.celestial), np.asarray(single.celestial), rtol=1e-4, atol=1e-6
     )
+
+
+def test_phased_march_mesh_matches_unsharded():
+    """march_phased_mesh (per-device interleaved compaction loops) must
+    reproduce the unsharded phased result exactly: same kernels, same
+    per-lane cadence — the split is pure data parallelism over rays."""
+    import jax
+
+    from gr_raytracer_tpu.parallel import mesh as pmesh
+
+    rows, cols = 8, 16
+    scene, x, p = flagship(rows, cols)
+    spec = fast_path.scene_kernel_spec(scene)
+    rr, cc = jnp.meshgrid(
+        jnp.arange(rows, dtype=jnp.float32),
+        jnp.arange(cols, dtype=jnp.float32),
+        indexing="ij",
+    )
+    rf, cf = rr.ravel(), cc.ravel()
+    base = fast_path.trace_rays_fast_phased(
+        scene, x, p, spec, interpret=True, phase0=256, phase_cap=1024
+    )
+    mesh = pmesh.ray_mesh(jax.devices()[:2])
+    meshed = fast_path.march_phased_mesh(
+        scene, rf, cf, spec, mesh, interpret=True, phase0=256, phase_cap=1024
+    )
+    np.testing.assert_array_equal(
+        np.asarray(meshed.stop_code), np.asarray(base.stop_code)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(meshed.ray_class), np.asarray(base.ray_class)
+    )
+    np.testing.assert_allclose(
+        np.asarray(meshed.color), np.asarray(base.color), rtol=1e-4, atol=1e-6
+    )
