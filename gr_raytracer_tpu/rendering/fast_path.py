@@ -622,7 +622,7 @@ def march_phased_mesh(
     n = rf.shape[0]
     assert n % len(devs) == 0, "chunk must divide the mesh"
     seg = n // len(devs)
-    rays_jit = jax.jit(_camera_rays)
+    rays_jit = _camera_rays_jit  # module-level: one compile across chunks
 
     runs = []
     for i, dev in enumerate(devs):
@@ -646,6 +646,9 @@ def _camera_rays(camera, row_f, col_f):
     from gr_raytracer_tpu.rendering import camera as cam
 
     return cam.pixel_rays(camera, row_f, col_f)
+
+
+_camera_rays_jit = jax.jit(_camera_rays)
 
 
 def trace_rays_fast_phased(scene, positions, momenta, spec, interpret=False, **kw):
