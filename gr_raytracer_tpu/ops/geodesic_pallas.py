@@ -43,6 +43,11 @@ from jax.experimental.pallas import tpu as pltpu
 from gr_raytracer_tpu.rendering import integrator as integ
 
 LANE_TILE = int(__import__("os").environ.get("GR_LANE_TILE", "1024"))  # rays per block
+# GR_EVENT_GATE=0 disables the lax.cond gate around event stores (stores run
+# unconditionally every step, the pre-gating behavior) — trace-time escape
+# hatch in case the in-kernel cond hits a Mosaic lowering gap on some
+# toolchain; parity is unaffected either way (the gate is semantics-exact).
+EVENT_GATE = __import__("os").environ.get("GR_EVENT_GATE", "1") != "0"
 SUB = 8  # f32/i32 sublane tile — every per-ray variable is a (SUB, LANE) tile
 LANE = LANE_TILE // SUB
 assert LANE_TILE % (SUB * 128) == 0, "block must be a multiple of the 8x128 VPU tile"
@@ -564,12 +569,12 @@ def _march_kernel(
                     )
                 return ev_kind, ev_data, ev_count, ev_ovf
 
-            ev_kind, ev_data, ev_count, ev_ovf = jax.lax.cond(
-                jnp.any(cand),
-                _do_stores,
-                lambda ev: ev,
-                (ev_kind, ev_data, ev_count, ev_ovf),
-            )
+            ev = (ev_kind, ev_data, ev_count, ev_ovf)
+            if EVENT_GATE:
+                ev = jax.lax.cond(jnp.any(cand), _do_stores, lambda e: e, ev)
+            else:
+                ev = _do_stores(ev)
+            ev_kind, ev_data, ev_count, ev_ovf = ev
         if opaque_stop and (discs or spheres):
             # Every object texture is opaque (alpha 1): the first event zeroes
             # the fold transmittance, so nothing recorded or marched after it
@@ -986,12 +991,12 @@ def _bl_march_kernel(
                     )
                 return ev_kind, ev_data, ev_count, ev_ovf
 
-            ev_kind, ev_data, ev_count, ev_ovf = jax.lax.cond(
-                jnp.any(cand),
-                _do_stores,
-                lambda ev: ev,
-                (ev_kind, ev_data, ev_count, ev_ovf),
-            )
+            ev = (ev_kind, ev_data, ev_count, ev_ovf)
+            if EVENT_GATE:
+                ev = jax.lax.cond(jnp.any(cand), _do_stores, lambda e: e, ev)
+            else:
+                ev = _do_stores(ev)
+            ev_kind, ev_data, ev_count, ev_ovf = ev
         if opaque_stop and (discs or spheres):
             # All textures opaque: first event saturates the fold (see the KS
             # kernel and integrator.SATURATED).
