@@ -670,3 +670,36 @@ def test_phased_march_mesh_matches_unsharded():
     np.testing.assert_allclose(
         np.asarray(meshed.color), np.asarray(base.color), rtol=1e-4, atol=1e-6
     )
+
+
+def test_kernel_multi_crossing_event_buffer():
+    """Photon-ring grazers cross the equatorial disc on every half-winding;
+    with opaque-stop disabled the kernel's K-slot buffer must record the
+    multi-crossing sequence and reproduce the lax fold's higher-order image
+    colors (VERDICT r1 item 5, kernel side)."""
+    from tests.test_raytracer import _photon_disc_scene, _RING_ROW, _RING_COLS
+
+    scene = _photon_disc_scene(max_steps=8000)
+    rr = np.full(_RING_COLS.size, _RING_ROW)
+    x, p = cam.pixel_rays(scene.camera, jnp.asarray(rr), jnp.asarray(_RING_COLS))
+    spec = fast_path.scene_kernel_spec(scene)._replace(opaque=False)
+
+    res, freq, solver, inverse, n = fast_path._march_scene(
+        scene, x, p, interpret=True, spec=spec
+    )
+    counts = np.asarray(res.ev_count[np.asarray(inverse)][:n])
+    assert counts.max() >= 3, f"expected >=3 kernel crossings, max={counts.max()}"
+    assert not np.asarray(res.ev_overflow).any()
+
+    ref = scn.trace_rays(scene, x, p)
+    fast = fast_path.trace_rays_fast(scene, x, p, interpret=True, spec=spec)
+    agree = stop_agree_mask(ref, fast)
+    multi = (counts >= 3) & agree
+    assert multi.any()
+    tone = lambda c: c / (1.0 + c)
+    err = np.abs(
+        tone(np.asarray(ref.color))[multi] - tone(np.asarray(fast.color))[multi]
+    )
+    # Different integrators (RKF45 vs fixed-cadence RK4) land crossings at
+    # slightly different radii; the checker cells bound the bulk error.
+    assert np.median(err.max(axis=-1)) < 0.05
