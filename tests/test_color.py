@@ -73,3 +73,16 @@ def test_global_linear_tone_map_normalizes_max():
     out = np.asarray(color.tone_map_linear_srgb(lin, method=color.TONE_MAPPING_GLOBAL_LINEAR))
     assert out.max() == pytest.approx(1.0)
     np.testing.assert_allclose(out, np.asarray(lin) / 4.0)
+
+
+def test_blackbody_srgb_swatches_exact():
+    """Exact 8-bit sRGB of a sum-normalized blackbody at 1000 K (red) and
+    10000 K (blue) — byte-for-byte the reference oracle
+    (black_body_radiation.rs:63-73)."""
+    from gr_raytracer_tpu.rendering import blackbody as bb
+
+    for temperature, expected in ((1000.0, [255, 60, 0]), (10000.0, [137, 146, 172])):
+        xyz = bb.blackbody_xyz(jnp.asarray(temperature))
+        exposure = 1.0 / (xyz[0] + xyz[1] + xyz[2])
+        srgb = color.xyz_to_srgb8(xyz[:3], exposure=exposure)
+        np.testing.assert_array_equal(np.asarray(srgb), expected)

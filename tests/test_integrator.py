@@ -172,3 +172,58 @@ def test_kerr_bl_pole_ray_classified_not_crashed():
     # The polar lane terminates with a *classification*, not a hang/poison.
     assert stops[0] in (integ.NAN, integ.CELESTIAL, integ.BUDGET, integ.STEP_FAILED)
     assert bool(np.isfinite(np.asarray(res.y)[1]).all())
+
+
+def _cli_default_cfg():
+    """The CLI's default IntegrationConfiguration (cli/cli.rs:10-20)."""
+    return integ.IntegrationConfig(
+        max_radius=jnp.asarray(15000.0),
+        step_size=jnp.asarray(0.01),
+        epsilon=jnp.asarray(1e-5),
+        max_steps=20000,
+        max_events=4,
+    )
+
+
+def test_celestial_sphere_reachable_with_cli_default_budget():
+    """Regression (schwarzschild.rs:875-899): an outward radial background ray
+    must reach max_radius=15000 within the default 20000-step budget instead
+    of exhausting it (H_MAX alone would need 15000 steps)."""
+    radius = 2.0
+    geometry = Schwarzschild(radius=jnp.asarray(radius), horizon_epsilon=jnp.asarray(1e-5))
+    r0 = 18.0
+    a = 1.0 - radius / r0
+    x0 = jnp.array([[0.0, r0, jnp.pi / 2, 0.0]])
+    # Outward radial null photon: p_t = 1, p_r = a (from -a p_t^2 + p_r^2/a = 0).
+    p0 = jnp.array([[1.0, a, 0.0, 0.0]])
+    solver = geometry.make_solver(x0, p0)
+    y0 = solver.initial_state(x0, p0)
+    res = integ.integrate_rays(
+        geometry, solver, _cli_default_cfg(), y0, integ.no_objects_segment_fn(1), 1
+    )
+    assert int(res.stop_code[0]) == integ.CELESTIAL
+
+
+def test_celestial_sphere_reachable_for_grazing_ray_with_cli_default_budget():
+    """Worst realistic budget case (schwarzschild.rs:901-939): a ray at
+    1.001x the critical impact parameter swings past the photon sphere and
+    must still reach the celestial sphere within the default budget."""
+    radius = 2.0
+    geometry = Schwarzschild(radius=jnp.asarray(radius), horizon_epsilon=jnp.asarray(1e-5))
+    r0 = 18.0
+    a0 = 1.0 - radius / r0
+    r_ph = 1.5 * radius
+    a_crit = 1.0 - radius / r_ph
+    b = (r_ph / np.sqrt(a_crit)) * 1.001
+    e = 1.0
+    l = b * e
+    p_t = e / a0
+    p_r = -np.sqrt(max(e * e - a0 * l * l / (r0 * r0), 0.0))  # ingoing initially
+    x0 = jnp.array([[0.0, r0, jnp.pi / 2, 0.0]])
+    p0 = jnp.array([[p_t, p_r, 0.0, l / (r0 * r0)]])
+    solver = geometry.make_solver(x0, p0)
+    y0 = solver.initial_state(x0, p0)
+    res = integ.integrate_rays(
+        geometry, solver, _cli_default_cfg(), y0, integ.no_objects_segment_fn(1), 1
+    )
+    assert int(res.stop_code[0]) == integ.CELESTIAL

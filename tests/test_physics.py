@@ -332,3 +332,56 @@ def test_null_condition_preserved_kerr_bl():
     res = integ.integrate_rays(kbl, solver, cfg, y0, integ.no_objects_segment_fn(1), 1)
     assert float(res.kk_drift[0]) < 1e-4
     assert float(jnp.max(res.const_drift)) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# Rotational symmetry of trajectories (schwarzschild.rs:604-646)
+# ---------------------------------------------------------------------------
+
+
+def test_trajectories_equal_with_rotated_momentum():
+    """Two camera rays whose momenta are 90°-rotated copies of each other
+    produce trajectories that are the same rotation of each other, step by
+    step (spherical symmetry of Schwarzschild)."""
+    from gr_raytracer_tpu.rendering import camera as cam
+
+    radius = 2.0
+    geometry = Schwarzschild(radius=jnp.asarray(radius), horizon_epsilon=jnp.asarray(1e-4))
+    r0 = 10.0
+    a = 1.0 - radius / r0
+    position = jnp.array([2.0, r0, PI / 2, 0.0])
+    velocity = jnp.array([1.0 / a, -np.sqrt(radius / r0), 0.0, 0.0])  # freely falling
+    camera = cam.build_camera(geometry, position, velocity, PI / 2, 11, 11)
+
+    rows = jnp.asarray([5.0, 0.0])
+    cols = jnp.asarray([10.0, 5.0])
+    x, p = cam.pixel_rays(camera, rows, cols)
+
+    # Precondition: the two momenta are 90°-rotated (θ and φ components swap).
+    np.testing.assert_allclose(float(p[0, 2]), float(p[1, 3]), atol=1e-12)
+    np.testing.assert_allclose(float(p[0, 3]), float(p[1, 2]), atol=1e-12)
+
+    solver = geometry.make_solver(x, p)
+    y0 = solver.initial_state(x, p)
+    cfg = integ.IntegrationConfig(
+        max_radius=jnp.asarray(1000.0),
+        step_size=jnp.asarray(0.01),
+        epsilon=jnp.asarray(1e-5),
+        max_steps=3000,
+    )
+    ys, ts, valid, stop = integ.integrate_trajectory(geometry, solver, cfg, y0, 3000)
+    ys = np.asarray(ys)          # [S, 2, 8]
+    valid = np.asarray(valid)    # [S, 2]
+
+    # Accepted steps only, per lane (the SIMD retry loop interleaves
+    # rejections differently per lane).
+    steps_a = ys[valid[:, 0], 0]
+    steps_b = ys[valid[:, 1], 1]
+    assert steps_a.shape[0] == steps_b.shape[0]  # equal step counts (reference asserts ==)
+
+    cart_a = np.asarray(charts.to_cartesian(jnp.asarray(steps_a[:, :4]), charts.SPHERICAL))
+    cart_b = np.asarray(charts.to_cartesian(jnp.asarray(steps_b[:, :4]), charts.SPHERICAL))
+    # Rotation mapping from the reference: x_a = x_b, y_a = -z_b, z_a = -y_b.
+    np.testing.assert_allclose(cart_a[:, 1], cart_b[:, 1], atol=1e-5)
+    np.testing.assert_allclose(cart_a[:, 2], -cart_b[:, 3], atol=1e-5)
+    np.testing.assert_allclose(cart_a[:, 3], -cart_b[:, 2], atol=1e-5)
