@@ -703,3 +703,17 @@ def test_kernel_multi_crossing_event_buffer():
     # Different integrators (RKF45 vs fixed-cadence RK4) land crossings at
     # slightly different radii; the checker cells bound the bulk error.
     assert np.median(err.max(axis=-1)) < 0.05
+
+
+def test_analytic_rhs_matches_autodiff():
+    """The hand-derived Kerr-Schild ∂H/∂x in gp._rhs must match the jax.grad
+    specification (gp._rhs_autodiff) to f64 roundoff at random states."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    y = jnp.asarray(rng.normal(size=(8, 256)) * 3.0)
+    y = y.at[1:4].add(jnp.sign(y[1:4]) * 2.0)  # keep off the ring singularity
+    for a in (0.0, 0.45, 0.9):
+        ref = np.asarray(gp._rhs_autodiff(1.0, a, y))
+        got = np.asarray(gp._rhs(1.0, a, y))
+        np.testing.assert_allclose(got, ref, rtol=1e-10, atol=1e-12)
