@@ -140,24 +140,32 @@ class VolumetricDisc(struct.PyTreeNode):
 
         safe_r = jnp.where(r > 0.0, r, 1.0)
         radial_base = jnp.power(self.inner_radius / safe_r, 1.5)
+        # exp(a)·exp(b) = exp(a+b): one transcendental for both edge falloffs
+        # (kept formula-identical with the Pallas kernel, ops/volumetric_pallas).
         boundary = jnp.exp(
             -1.0 / jnp.maximum((self.outer_radius - r) ** 2, 1e-4)
-        ) * jnp.exp(-1.0 / jnp.maximum((r - self.inner_radius) ** 2, 1e-4))
+            - 1.0 / jnp.maximum((r - self.inner_radius) ** 2, 1e-4)
+        )
 
         x_loc = einsum("...i,i->...", p, self.e1)
         y_loc = einsum("...i,i->...", p, self.e2)
-        phi = jnp.arctan2(y_loc, x_loc)
+        # cosφ/sinφ of the in-plane azimuth directly: (e1, e2, axis)
+        # orthonormal ⇒ |p × axis| = √(x_loc² + y_loc²) = r, so cosφ =
+        # x_loc/r, sinφ = y_loc/r — no atan2/cos/sin per sample (identical
+        # math to the Pallas kernel so the parity tests stay tight).
+        cphi = x_loc / safe_r
+        sphi = y_loc / safe_r
         # φ mapped to a circle in noise space: seam-free periodic noise.
         noise_p = jnp.stack(
             [
                 r * self.noise_scale[0],
-                jnp.cos(phi) * self.noise_scale[1],
-                jnp.sin(phi) * self.noise_scale[1],
+                cphi * self.noise_scale[1],
+                sphi * self.noise_scale[1],
             ],
             axis=-1,
         )
         n = noise.fbm(self.perm, noise_p, self.num_octaves, 0.5)
-        vert_p = jnp.stack([r * 0.5, h * self.noise_scale[2], jnp.cos(phi)], axis=-1)
+        vert_p = jnp.stack([r * 0.5, h * self.noise_scale[2], cphi], axis=-1)
         n = n + 0.5 * noise.perlin3(self.perm, vert_p)
         n = jnp.maximum(n + self.noise_offset, 0.0) * self.density_multiplier
         return jnp.where(inside, n * radial_base * vertical * boundary, 0.0)
@@ -301,11 +309,11 @@ class VolumetricDisc(struct.PyTreeNode):
             u, v = self.uv(p)
             light = self.texture.color_at_uv(u, v, temperature, redshift)
 
-            light_attenuation = jnp.exp(-density * d_s * sigma)
+            # light_attenuation == attenuation (same expression); reuse it.
             t_ratio = temperature / self.brightness_reference_temperature
             t2 = t_ratio * t_ratio
             intensity = t2 * t2  # T⁴ without the transcendental pow
-            weight = transparency * light_attenuation * self.scattering * density * d_s
+            weight = transparency * attenuation * self.scattering * density * d_s
             emit_mask = live_emit.astype(dtype)
             accum = c["accum"] + (weight * intensity * emit_mask)[..., None] * light[..., :3]
 

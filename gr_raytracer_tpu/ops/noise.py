@@ -24,20 +24,51 @@ def permutation_table(seed: int) -> np.ndarray:
     return np.asarray(key, np.uint32)
 
 
-def _hash3(key, ix, iy, iz):
-    """uint32 lattice hash: per-axis multiplicative scramble + Wang finish."""
-    h = (
-        ix.astype(jnp.uint32) * jnp.uint32(0x8DA6B343)
-        ^ iy.astype(jnp.uint32) * jnp.uint32(0xD8163841)
-        ^ iz.astype(jnp.uint32) * jnp.uint32(0xCB1AB31F)
-        ^ key
-    )
+_AX = 0x8DA6B343
+_AY = 0xD8163841
+_AZ = 0xCB1AB31F
+
+
+def _mix(h):
+    """Wang-style avalanche finish on a combined uint32 lattice term."""
     h = h ^ (h >> 16)
     h = h * jnp.uint32(0x7FEB352D)
     h = h ^ (h >> 15)
     h = h * jnp.uint32(0x846CA68B)
     h = h ^ (h >> 16)
     return h
+
+
+def _hash3(key, ix, iy, iz):
+    """uint32 lattice hash: per-axis multiplicative scramble + Wang finish."""
+    return _mix(
+        ix.astype(jnp.uint32) * jnp.uint32(_AX)
+        ^ iy.astype(jnp.uint32) * jnp.uint32(_AY)
+        ^ iz.astype(jnp.uint32) * jnp.uint32(_AZ)
+        ^ key
+    )
+
+
+def _corner_hashes(key, xi, yi, zi):
+    """The 8 cube-corner hashes, sharing the per-axis products: (ix+1)·A =
+    ix·A + A in wrapping uint32, so the corner combinations cost 6 int ops +
+    8 XOR pairs instead of 24 multiplies. BIT-IDENTICAL to _hash3 per corner.
+    Returns hashes in (x, y, z) bit order: h[dx][dy][dz]."""
+    hx0 = xi.astype(jnp.uint32) * jnp.uint32(_AX)
+    hx1 = (hx0 + jnp.uint32(_AX)) ^ key  # key folded into x AFTER the add
+    hx0 = hx0 ^ key
+    hy0 = yi.astype(jnp.uint32) * jnp.uint32(_AY)
+    hy1 = hy0 + jnp.uint32(_AY)
+    hz0 = zi.astype(jnp.uint32) * jnp.uint32(_AZ)
+    hz1 = hz0 + jnp.uint32(_AZ)
+    h00 = hx0 ^ hy0
+    h10 = hx1 ^ hy0
+    h01 = hx0 ^ hy1
+    h11 = hx1 ^ hy1
+    return (
+        (( _mix(h00 ^ hz0), _mix(h00 ^ hz1)), (_mix(h01 ^ hz0), _mix(h01 ^ hz1))),
+        (( _mix(h10 ^ hz0), _mix(h10 ^ hz1)), (_mix(h11 ^ hz0), _mix(h11 ^ hz1))),
+    )
 
 
 def _grad(h, x, y, z):
@@ -64,15 +95,15 @@ def perlin3(key: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
 
     u, v, w = _fade(xf), _fade(yf), _fade(zf)
 
-    one = jnp.int32(1)
-    x000 = _grad(_hash3(key, xi, yi, zi), xf, yf, zf)
-    x100 = _grad(_hash3(key, xi + one, yi, zi), xf - 1.0, yf, zf)
-    x010 = _grad(_hash3(key, xi, yi + one, zi), xf, yf - 1.0, zf)
-    x110 = _grad(_hash3(key, xi + one, yi + one, zi), xf - 1.0, yf - 1.0, zf)
-    x001 = _grad(_hash3(key, xi, yi, zi + one), xf, yf, zf - 1.0)
-    x101 = _grad(_hash3(key, xi + one, yi, zi + one), xf - 1.0, yf, zf - 1.0)
-    x011 = _grad(_hash3(key, xi, yi + one, zi + one), xf, yf - 1.0, zf - 1.0)
-    x111 = _grad(_hash3(key, xi + one, yi + one, zi + one), xf - 1.0, yf - 1.0, zf - 1.0)
+    h = _corner_hashes(key, xi, yi, zi)
+    x000 = _grad(h[0][0][0], xf, yf, zf)
+    x100 = _grad(h[1][0][0], xf - 1.0, yf, zf)
+    x010 = _grad(h[0][1][0], xf, yf - 1.0, zf)
+    x110 = _grad(h[1][1][0], xf - 1.0, yf - 1.0, zf)
+    x001 = _grad(h[0][0][1], xf, yf, zf - 1.0)
+    x101 = _grad(h[1][0][1], xf - 1.0, yf, zf - 1.0)
+    x011 = _grad(h[0][1][1], xf, yf - 1.0, zf - 1.0)
+    x111 = _grad(h[1][1][1], xf - 1.0, yf - 1.0, zf - 1.0)
 
     y00 = x000 + u * (x100 - x000)
     y10 = x010 + u * (x110 - x010)
@@ -95,15 +126,15 @@ def perlin3_lanes(key, x, y, z):
     zi = zi0.astype(jnp.int32)
 
     u, v, w = _fade(xf), _fade(yf), _fade(zf)
-    one = jnp.int32(1)
-    x000 = _grad(_hash3(key, xi, yi, zi), xf, yf, zf)
-    x100 = _grad(_hash3(key, xi + one, yi, zi), xf - 1.0, yf, zf)
-    x010 = _grad(_hash3(key, xi, yi + one, zi), xf, yf - 1.0, zf)
-    x110 = _grad(_hash3(key, xi + one, yi + one, zi), xf - 1.0, yf - 1.0, zf)
-    x001 = _grad(_hash3(key, xi, yi, zi + one), xf, yf, zf - 1.0)
-    x101 = _grad(_hash3(key, xi + one, yi, zi + one), xf - 1.0, yf, zf - 1.0)
-    x011 = _grad(_hash3(key, xi, yi + one, zi + one), xf, yf - 1.0, zf - 1.0)
-    x111 = _grad(_hash3(key, xi + one, yi + one, zi + one), xf - 1.0, yf - 1.0, zf - 1.0)
+    h = _corner_hashes(key, xi, yi, zi)
+    x000 = _grad(h[0][0][0], xf, yf, zf)
+    x100 = _grad(h[1][0][0], xf - 1.0, yf, zf)
+    x010 = _grad(h[0][1][0], xf, yf - 1.0, zf)
+    x110 = _grad(h[1][1][0], xf - 1.0, yf - 1.0, zf)
+    x001 = _grad(h[0][0][1], xf, yf, zf - 1.0)
+    x101 = _grad(h[1][0][1], xf - 1.0, yf, zf - 1.0)
+    x011 = _grad(h[0][1][1], xf, yf - 1.0, zf - 1.0)
+    x111 = _grad(h[1][1][1], xf - 1.0, yf - 1.0, zf - 1.0)
 
     y00 = x000 + u * (x100 - x000)
     y10 = x010 + u * (x110 - x010)

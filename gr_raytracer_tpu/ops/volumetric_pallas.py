@@ -318,16 +318,22 @@ def _density(spec: VolSpec, px, py, pz):
     safe_r = jnp.where(r > 0.0, r, 1.0)
     t_ratio = spec.inner / safe_r
     radial_base = t_ratio * jnp.sqrt(t_ratio)  # (inner/r)^1.5
-    boundary = jnp.exp(-1.0 / jnp.maximum((spec.outer - r) ** 2, 1e-4)) * jnp.exp(
-        -1.0 / jnp.maximum((r - spec.inner) ** 2, 1e-4)
+    # exp(a)·exp(b) = exp(a+b): one transcendental for both edge falloffs.
+    boundary = jnp.exp(
+        -1.0 / jnp.maximum((spec.outer - r) ** 2, 1e-4)
+        - 1.0 / jnp.maximum((r - spec.inner) ** 2, 1e-4)
     )
 
     e1x, e1y, e1z = spec.e1
     e2x, e2y, e2z = spec.e2
     x_loc = px * e1x + py * e1y + pz * e1z
     y_loc = px * e2x + py * e2y + pz * e2z
-    phi = _atan2(y_loc, x_loc)
-    cphi, sphi = jnp.cos(phi), jnp.sin(phi)
+    # cos/sin of the in-plane azimuth DIRECTLY: (e1, e2, axis) orthonormal ⇒
+    # |p × axis| = √(x_loc² + y_loc²) = r, so cosφ = x_loc/r, sinφ = y_loc/r —
+    # replaces atan2 + cos + sin per sample with two multiplies.
+    inv_rin = 1.0 / safe_r
+    cphi = x_loc * inv_rin
+    sphi = y_loc * inv_rin
     key = jnp.uint32(spec.key)
     n = noise.fbm_lanes(
         key,
@@ -339,7 +345,7 @@ def _density(spec: VolSpec, px, py, pz):
     )
     n = n + 0.5 * noise.perlin3_lanes(key, r * 0.5, h * spec.noise_scale[2], cphi)
     n = jnp.maximum(n + spec.noise_offset, 0.0) * spec.density_multiplier
-    return jnp.where(inside, n * radial_base * vertical * boundary, 0.0), r, h, phi
+    return jnp.where(inside, n * radial_base * vertical * boundary, 0.0), r, cphi, sphi
 
 
 def _killing_coefficients(r_s, a, r):
@@ -486,7 +492,7 @@ def _march_kernel(in_ref, out_ref, *, spec: VolSpec):
         pz = roz + rdz * d_o
         d_o_new = d_o + d_s
 
-        density, r_axis, h, phi = _density(spec, px, py, pz)
+        density, r_axis, cphi, sphi = _density(spec, px, py, pz)
         density = jnp.where(live, density, 0.0)
         emitting = density > 0.0
 
@@ -511,15 +517,15 @@ def _march_kernel(in_ref, out_ref, *, spec: VolSpec):
         temperature = _temperature(spec, r_axis)
         # UV (objects/volumetric_disc.py uv()): r from the in-plane radius.
         r_norm = (r_axis - spec.inner) / (spec.outer - spec.inner)
-        u_uv = 0.5 + 0.5 * r_norm * jnp.cos(phi)
-        v_uv = 0.5 + 0.5 * r_norm * jnp.sin(phi)
+        u_uv = 0.5 + 0.5 * r_norm * cphi
+        v_uv = 0.5 + 0.5 * r_norm * sphi
         lx, ly, lz, lalpha = _texture_color(spec, u_uv, v_uv, temperature, redshift)
 
-        light_attenuation = jnp.exp(-density * d_s * sigma)
+        # light_attenuation == attenuation (same expression); reuse it.
         t_ratio = temperature / spec.brightness_ref
         t2 = t_ratio * t_ratio
         intensity = t2 * t2
-        weight = transparency * light_attenuation * spec.scattering * density * d_s
+        weight = transparency * attenuation * spec.scattering * density * d_s
         emit_f = jnp.where(live_emit, 1.0, 0.0)
         wscale = weight * intensity * emit_f
         acc_x = c_x + wscale * lx

@@ -299,3 +299,25 @@ def test_reference_volumetric_scene_builds():
     opts = cfgmod.RenderOptions(width=3, height=3, camera_position=(-18.0, 0.0, -1.0))
     scene = cfgmod.create_scene(cfg, opts)
     assert any(hasattr(o, "raymarch") for o in scene.objects)
+
+
+def test_corner_hashes_bit_identical_to_hash3():
+    """noise._corner_hashes shares per-axis lattice products across the 8
+    cube corners; it must stay BIT-identical to _hash3 per corner (the noise
+    field, and thus every volumetric render, depends on it)."""
+    import numpy as np
+
+    from gr_raytracer_tpu.ops import noise
+
+    rng = np.random.default_rng(11)
+    xi = jnp.asarray(rng.integers(-10**6, 10**6, 512), jnp.int32)
+    yi = jnp.asarray(rng.integers(-10**6, 10**6, 512), jnp.int32)
+    zi = jnp.asarray(rng.integers(-10**6, 10**6, 512), jnp.int32)
+    key = jnp.uint32(noise.permutation_table(3))
+    h = noise._corner_hashes(key, xi, yi, zi)
+    one = jnp.int32(1)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                ref = noise._hash3(key, xi + dx * one, yi + dy * one, zi + dz * one)
+                np.testing.assert_array_equal(np.asarray(h[dx][dy][dz]), np.asarray(ref))
