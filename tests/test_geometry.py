@@ -202,3 +202,68 @@ def test_cross_chart_conserved_quantities():
     c_ks = kerr.constants_of_motion(cart_x, p_cart)
     np.testing.assert_allclose(float(c_bl["E"]), float(c_ks["E"]), atol=1e-10)
     np.testing.assert_allclose(float(c_bl["L_z"]), float(c_ks["L_z"]), atol=1e-10)
+
+
+def test_over_extremal_spin_has_no_horizon():
+    """|a| > M: no event horizon exists — inside_horizon is False everywhere,
+    including at tiny radii (kerr.rs:120-137 / kerr_bl.rs over-extremal
+    handling). Both charts, both spin signs."""
+    from gr_raytracer_tpu.geometry.kerr import Kerr
+    from gr_raytracer_tpu.geometry.kerr_bl import KerrBL
+
+    for a in (0.7, -0.7):  # M = 0.5 (radius 1.0) -> |a| > M
+        ks = Kerr(radius=jnp.asarray(1.0), a=jnp.asarray(a), horizon_epsilon=jnp.asarray(1e-4))
+        x_cart = jnp.array([[0.0, 0.05, 0.0, 0.02], [0.0, 3.0, 0.0, 0.0]])
+        assert not bool(jnp.any(ks.inside_horizon(x_cart)))
+        bl = KerrBL(radius=jnp.asarray(1.0), a=jnp.asarray(a), horizon_epsilon=jnp.asarray(1e-4))
+        x_bl = jnp.array([[0.0, 0.05, jnp.pi / 2, 0.0], [0.0, 3.0, 1.0, 0.0]])
+        assert not bool(jnp.any(bl.inside_horizon(x_bl)))
+    # Sub-extremal control: a point just outside r=0 IS inside the horizon.
+    ks = Kerr(radius=jnp.asarray(1.0), a=jnp.asarray(0.3), horizon_epsilon=jnp.asarray(1e-4))
+    assert bool(ks.inside_horizon(jnp.array([0.0, 0.4, 0.0, 0.1])))
+
+
+def test_bl_potential_derivatives_match_autodiff():
+    """The closed-form R'(r) and Θ'(θ) used by the Mino-time RHS agree with
+    jax.grad of the potentials (kerr_bl.rs:86-118 'numerical' test, done
+    exactly here)."""
+    import jax
+
+    from gr_raytracer_tpu.geometry import kerr_bl as kbl
+
+    r_s, a, e, l_z, q = 1.0, 0.45, 1.1, -2.3, 3.7
+    for r in (1.5, 3.0, 8.0, 20.0):
+        got = float(kbl.potential_r_derivative(r, r_s, a, e, l_z, q))
+        ref = float(jax.grad(lambda rr: kbl.potential_r(rr, r_s, a, e, l_z, q))(r))
+        np.testing.assert_allclose(got, ref, rtol=1e-12)
+    for theta in (0.3, 1.0, jnp.pi / 2, 2.5):
+        got = float(kbl.potential_theta_derivative(theta, a, e, l_z, q))
+        ref = float(jax.grad(lambda t: kbl.potential_theta(t, a, e, l_z, q))(float(theta)))
+        np.testing.assert_allclose(got, ref, rtol=1e-10, atol=1e-12)
+
+
+def test_bl_potential_r_non_negative_on_trajectory():
+    """R(r) >= 0 wherever a real null geodesic actually travels (the Mino
+    v_r² = R(r) identity; kerr_bl.rs potential_r_non_negative test)."""
+    from gr_raytracer_tpu.geometry.kerr_bl import KerrBL
+    from gr_raytracer_tpu.geometry import kerr_bl as kbl
+    from gr_raytracer_tpu.rendering import integrator as integ
+
+    geometry = KerrBL(radius=jnp.asarray(1.0), a=jnp.asarray(0.45), horizon_epsilon=jnp.asarray(1e-3))
+    x = jnp.asarray([[0.0, 10.0, jnp.pi / 2, 0.0]])
+    p = jnp.asarray([[1.0, -0.8, 0.05, 0.03]])
+    solver = geometry.make_solver(x, p)
+    y0 = solver.initial_state(x, p)
+    cfg = integ.IntegrationConfig(
+        max_radius=jnp.asarray(50.0),
+        step_size=jnp.asarray(0.01),
+        epsilon=jnp.asarray(1e-8),
+        max_steps=4000,
+    )
+    ys, ts, valid, stop = integ.integrate_trajectory(geometry, solver, cfg, y0, 4000)
+    r_traj = np.asarray(ys)[np.asarray(valid)[:, 0], 0, 1]
+    pot = kbl.potential_r(
+        jnp.asarray(r_traj), 1.0, 0.45, solver.e[0], solver.l_z[0], solver.q[0]
+    )
+    # v_r² = R(r) >= 0 along the path (small negative FP noise tolerated).
+    assert float(jnp.min(pot)) > -1e-8
