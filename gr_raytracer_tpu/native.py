@@ -46,6 +46,10 @@ def _load():
             lib.png_encode.restype = ctypes.c_int64
             lib.trajectory_csv.argtypes = [i64p, f64p, f64p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64]
             lib.trajectory_csv.restype = ctypes.c_int64
+            lib.png_decode_info.argtypes = [u8p, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64)]
+            lib.png_decode_info.restype = ctypes.c_int64
+            lib.png_decode.argtypes = [u8p, ctypes.c_int64, u8p]
+            lib.png_decode.restype = ctypes.c_int64
             _lib = lib
         except Exception:
             _lib_failed = True
@@ -103,6 +107,25 @@ def png_encode(rgb: np.ndarray) -> bytes | None:
     if size < 0:
         return None
     return buf.raw[:size]
+
+
+def png_decode(data: bytes) -> np.ndarray | None:
+    """PNG bytes -> [H, W, 4] RGBA8, or None if the native decoder can't
+    handle this file (16-bit, interlaced, ...) or the lib is unavailable —
+    callers fall back to PIL. Covers every reference texture
+    (resources/*.png: 8-bit RGB/RGBA, interlace 0)."""
+    lib = _load()
+    if lib is None:
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    w = ctypes.c_int64()
+    h = ctypes.c_int64()
+    if lib.png_decode_info(buf, len(buf), ctypes.byref(w), ctypes.byref(h)) != 0:
+        return None
+    out = np.empty((h.value, w.value, 4), np.uint8)
+    if lib.png_decode(buf, len(buf), out.reshape(-1)) != 0:
+        return None
+    return out
 
 
 def trajectory_csv(steps: np.ndarray, affine: np.ndarray, cart: np.ndarray) -> str | None:

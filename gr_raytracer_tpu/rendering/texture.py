@@ -59,11 +59,23 @@ class BitmapMap(struct.PyTreeNode):
 
     @classmethod
     def from_file(cls, path, beaming_exponent, dtype=None):
-        from PIL import Image
-
         if dtype is None:
             dtype = jnp.result_type(float)
-        img = np.asarray(Image.open(path).convert("RGBA"), dtype=np.float64)
+        img = None
+        if path.lower().endswith(".png"):
+            # Native PNG decoder (native/gr_native.cpp) — the data-loader
+            # side of the native host runtime; PIL is the fallback for
+            # formats it doesn't cover (16-bit, interlaced, non-PNG).
+            from gr_raytracer_tpu import native
+
+            with open(path, "rb") as f:
+                rgba = native.png_decode(f.read())
+            if rgba is not None:
+                img = np.asarray(rgba, dtype=np.float64)
+        if img is None:
+            from PIL import Image
+
+            img = np.asarray(Image.open(path).convert("RGBA"), dtype=np.float64)
         xyza = srgb8_to_xyza(jnp.asarray(img, dtype), dtype)
         return cls(image=xyza, beaming_exponent=jnp.asarray(beaming_exponent, dtype))
 

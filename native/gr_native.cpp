@@ -144,6 +144,179 @@ int64_t png_encode(const uint8_t* rgb, int64_t w, int64_t h, uint8_t* out,
 }
 
 // ---------------------------------------------------------------------------
+// PNG decode (texture data-loader)
+// ---------------------------------------------------------------------------
+//
+// Non-interlaced, bit depth 8, color types 0 (gray), 2 (RGB), 3 (palette),
+// 4 (gray+alpha), 6 (RGBA) — covers every texture the reference ships
+// (resources/*.png: RGB/RGBA 8-bit, interlace 0). Output is always RGBA8.
+// Returns -1 for anything else; the Python caller falls back to PIL.
+
+static uint32_t get_be32(const uint8_t* p) {
+  return ((uint32_t)p[0] << 24) | ((uint32_t)p[1] << 16) |
+         ((uint32_t)p[2] << 8) | (uint32_t)p[3];
+}
+
+static inline uint8_t paeth(int a, int b, int c) {
+  const int p = a + b - c;
+  const int pa = std::abs(p - a), pb = std::abs(p - b), pc = std::abs(p - c);
+  if (pa <= pb && pa <= pc) return (uint8_t)a;
+  if (pb <= pc) return (uint8_t)b;
+  return (uint8_t)c;
+}
+
+struct PngInfo {
+  int64_t w = 0, h = 0;
+  int color_type = -1;
+  int channels = 0;
+  const uint8_t* plte = nullptr;
+  uint32_t plte_len = 0;     // entries
+  const uint8_t* trns = nullptr;
+  uint32_t trns_len = 0;
+  std::vector<uint8_t> idat;  // concatenated zlib stream
+};
+
+static bool png_parse(const uint8_t* data, int64_t n, PngInfo& info) {
+  static const uint8_t sig[8] = {137, 80, 78, 71, 13, 10, 26, 10};
+  if (n < 8 + 25 || std::memcmp(data, sig, 8) != 0) return false;
+  int64_t pos = 8;
+  bool seen_ihdr = false;
+  while (pos + 12 <= n) {
+    const uint32_t len = get_be32(data + pos);
+    const uint8_t* type = data + pos + 4;
+    const uint8_t* body = data + pos + 8;
+    if (pos + 12 + (int64_t)len > n) return false;
+    if (!std::memcmp(type, "IHDR", 4)) {
+      if (len != 13) return false;
+      info.w = get_be32(body);
+      info.h = get_be32(body + 4);
+      const int bit_depth = body[8];
+      info.color_type = body[9];
+      const int interlace = body[12];
+      if (bit_depth != 8 || interlace != 0) return false;
+      switch (info.color_type) {
+        case 0: info.channels = 1; break;
+        case 2: info.channels = 3; break;
+        case 3: info.channels = 1; break;
+        case 4: info.channels = 2; break;
+        case 6: info.channels = 4; break;
+        default: return false;
+      }
+      seen_ihdr = true;
+    } else if (!std::memcmp(type, "PLTE", 4)) {
+      info.plte = body;
+      info.plte_len = len / 3;
+    } else if (!std::memcmp(type, "tRNS", 4)) {
+      info.trns = body;
+      info.trns_len = len;
+    } else if (!std::memcmp(type, "IDAT", 4)) {
+      info.idat.insert(info.idat.end(), body, body + len);
+    } else if (!std::memcmp(type, "IEND", 4)) {
+      break;
+    }
+    pos += 12 + (int64_t)len;
+  }
+  if (!seen_ihdr || info.idat.empty() || info.w <= 0 || info.h <= 0) return false;
+  if (info.color_type == 3 && info.plte == nullptr) return false;
+  return true;
+}
+
+// Query dimensions: fills w/h, returns 0 on a decodable image, -1 otherwise.
+int64_t png_decode_info(const uint8_t* data, int64_t n, int64_t* w, int64_t* h) {
+  PngInfo info;
+  if (!png_parse(data, n, info)) return -1;
+  *w = info.w;
+  *h = info.h;
+  return 0;
+}
+
+// Decode into out_rgba [h*w*4]. Returns 0 on success, -1 on failure.
+int64_t png_decode(const uint8_t* data, int64_t n, uint8_t* out_rgba) {
+  PngInfo info;
+  if (!png_parse(data, n, info)) return -1;
+  const int64_t w = info.w, h = info.h;
+  const int ch = info.channels;
+  const int64_t stride = w * ch;
+  std::vector<uint8_t> raw((size_t)h * (stride + 1));
+  uLongf raw_len = (uLongf)raw.size();
+  if (uncompress(raw.data(), &raw_len, info.idat.data(), (uLong)info.idat.size()) != Z_OK ||
+      raw_len != raw.size())
+    return -1;
+
+  // Unfilter in place (scanline layout: filter byte + stride bytes).
+  std::vector<uint8_t> prev((size_t)stride, 0);
+  for (int64_t y = 0; y < h; ++y) {
+    uint8_t* line = &raw[(size_t)y * (stride + 1)];
+    const uint8_t filter = line[0];
+    uint8_t* cur = line + 1;
+    switch (filter) {
+      case 0: break;
+      case 1:
+        for (int64_t i = ch; i < stride; ++i) cur[i] = (uint8_t)(cur[i] + cur[i - ch]);
+        break;
+      case 2:
+        for (int64_t i = 0; i < stride; ++i) cur[i] = (uint8_t)(cur[i] + prev[i]);
+        break;
+      case 3:
+        for (int64_t i = 0; i < stride; ++i) {
+          const int left = i >= ch ? cur[i - ch] : 0;
+          cur[i] = (uint8_t)(cur[i] + ((left + prev[i]) >> 1));
+        }
+        break;
+      case 4:
+        for (int64_t i = 0; i < stride; ++i) {
+          const int left = i >= ch ? cur[i - ch] : 0;
+          const int up_left = i >= ch ? prev[i - ch] : 0;
+          cur[i] = (uint8_t)(cur[i] + paeth(left, prev[i], up_left));
+        }
+        break;
+      default:
+        return -1;
+    }
+    std::memcpy(prev.data(), cur, (size_t)stride);
+
+    // Expand this scanline to RGBA8.
+    uint8_t* out = out_rgba + (size_t)y * w * 4;
+    switch (info.color_type) {
+      case 0:
+        for (int64_t x = 0; x < w; ++x) {
+          out[4 * x] = out[4 * x + 1] = out[4 * x + 2] = cur[x];
+          out[4 * x + 3] = 255;
+        }
+        break;
+      case 2:
+        for (int64_t x = 0; x < w; ++x) {
+          out[4 * x] = cur[3 * x];
+          out[4 * x + 1] = cur[3 * x + 1];
+          out[4 * x + 2] = cur[3 * x + 2];
+          out[4 * x + 3] = 255;
+        }
+        break;
+      case 3:
+        for (int64_t x = 0; x < w; ++x) {
+          const uint32_t idx = cur[x];
+          if (idx >= info.plte_len) return -1;
+          out[4 * x] = info.plte[3 * idx];
+          out[4 * x + 1] = info.plte[3 * idx + 1];
+          out[4 * x + 2] = info.plte[3 * idx + 2];
+          out[4 * x + 3] = (idx < info.trns_len) ? info.trns[idx] : 255;
+        }
+        break;
+      case 4:
+        for (int64_t x = 0; x < w; ++x) {
+          out[4 * x] = out[4 * x + 1] = out[4 * x + 2] = cur[2 * x];
+          out[4 * x + 3] = cur[2 * x + 1];
+        }
+        break;
+      case 6:
+        std::memcpy(out, cur, (size_t)w * 4);
+        break;
+    }
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
 // Trajectory CSV (ray.rs:35-54 schema)
 // ---------------------------------------------------------------------------
 

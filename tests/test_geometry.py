@@ -267,3 +267,18 @@ def test_bl_potential_r_non_negative_on_trajectory():
     )
     # v_r² = R(r) >= 0 along the path (small negative FP noise tolerated).
     assert float(jnp.min(pot)) > -1e-8
+
+
+def test_kerr_circular_orbit_velocity_exact():
+    """Exact pinned Cartesian circular-orbit four-velocity at y = 3, a = 0,
+    r_s = 1 (kerr.rs:768-779): u = (√2, −1/√3, 0, 0) — the prograde orbit
+    moves in −x at +y with the axial Killing field (0, −y, x, 0)."""
+    from gr_raytracer_tpu.geometry.kerr import Kerr
+
+    geometry = Kerr(radius=jnp.asarray(1.0), a=jnp.asarray(0.0), horizon_epsilon=jnp.asarray(1e-4))
+    x = jnp.array([0.0, 0.0, 3.0, 0.0])
+    u, ok = geometry.circular_orbit_velocity(x)
+    assert bool(ok)
+    np.testing.assert_allclose(
+        np.asarray(u), [1.414213562373095, -0.5773502691896257, 0.0, 0.0], atol=1e-8
+    )

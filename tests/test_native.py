@@ -71,3 +71,36 @@ def test_write_image_png_via_native(tmp_path):
 
     img = np.asarray(Image.open(path))
     assert img.shape == (9, 7, 3)
+
+
+def test_png_decode_matches_pil_and_roundtrip(tmp_path):
+    """The native PNG decoder (the data-loader side of the native runtime)
+    is byte-exact vs PIL on every reference texture format (8-bit RGB/RGBA/
+    gray/palette/gray+alpha, interlace 0) and round-trips our own encoder."""
+    import glob
+    import io
+
+    from PIL import Image
+
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    paths = sorted(glob.glob("/root/reference/resources/*.png"))
+    for path in paths[:4]:  # keep the big 2048x2048 scans bounded
+        with open(path, "rb") as f:
+            data = f.read()
+        got = native.png_decode(data)
+        assert got is not None
+        np.testing.assert_array_equal(got, np.asarray(Image.open(path).convert("RGBA")))
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (37, 53, 3), np.uint8)
+    back = native.png_decode(native.png_encode(img))
+    np.testing.assert_array_equal(back[..., :3], img)
+    assert (back[..., 3] == 255).all()
+
+    for mode in ("L", "P", "LA"):
+        im = Image.fromarray(rng.integers(0, 256, (16, 16, 3), np.uint8)).convert(mode)
+        buf = io.BytesIO()
+        im.save(buf, "PNG")
+        got = native.png_decode(buf.getvalue())
+        np.testing.assert_array_equal(got, np.asarray(im.convert("RGBA")))
