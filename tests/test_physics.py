@@ -385,3 +385,57 @@ def test_trajectories_equal_with_rotated_momentum():
     np.testing.assert_allclose(cart_a[:, 1], cart_b[:, 1], atol=1e-5)
     np.testing.assert_allclose(cart_a[:, 2], -cart_b[:, 3], atol=1e-5)
     np.testing.assert_allclose(cart_a[:, 3], -cart_b[:, 2], atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# SR Doppler through real camera rays (redshift.rs:280-347)
+# ---------------------------------------------------------------------------
+
+
+def _flat_space_redshift_for(emitter_velocity):
+    """Reference flat_space_redshift_for: static camera at x = +10 shoots its
+    CENTER ray toward an emitter at x = +5 moving with the given velocity;
+    redshift from the actual camera-produced momentum."""
+    from gr_raytracer_tpu.rendering import camera as cam
+    from gr_raytracer_tpu.rendering.redshift import ray_frequency_data, redshift_from_energies
+
+    geometry = EuclideanSpace()
+    position = jnp.array([0.0, 10.0, 0.0, 0.0])
+    camera = cam.build_camera(
+        geometry, position, jnp.array([1.0, 0.0, 0.0, 0.0]), PI / 2, 11, 11
+    )
+    x, p = cam.pixel_rays(camera, jnp.asarray([5.0]), jnp.asarray([5.0]))
+    assert float(p[0, 1]) < 0.0  # marches toward the emitter (-x)
+    freq = ray_frequency_data(geometry, x, p, camera.velocity)
+    emitter_position = jnp.array([0.0, 5.0, 0.0, 0.0])
+    emitter_energy = geometry.inner_product(
+        emitter_position, jnp.broadcast_to(emitter_velocity, p.shape), p
+    )
+    return float(redshift_from_energies(emitter_energy, freq.observer_energy)[0])
+
+
+def test_camera_ray_doppler_closed_forms():
+    v = 0.2
+    gamma = 1.0 / np.sqrt(1.0 - v * v)
+    # At rest: no shift.
+    np.testing.assert_allclose(
+        _flat_space_redshift_for(jnp.array([1.0, 0.0, 0.0, 0.0])), 1.0, rtol=1e-12
+    )
+    # Toward the camera (+x): blueshift 1/(γ(1−v)).
+    np.testing.assert_allclose(
+        _flat_space_redshift_for(jnp.array([gamma, gamma * v, 0.0, 0.0])),
+        1.0 / (gamma * (1.0 - v)),
+        rtol=1e-12,
+    )
+    # Away (−x): redshift 1/(γ(1+v)).
+    np.testing.assert_allclose(
+        _flat_space_redshift_for(jnp.array([gamma, -gamma * v, 0.0, 0.0])),
+        1.0 / (gamma * (1.0 + v)),
+        rtol=1e-12,
+    )
+    # Transverse: time dilation only, 1/γ.
+    np.testing.assert_allclose(
+        _flat_space_redshift_for(jnp.array([gamma, 0.0, gamma * v, 0.0])),
+        1.0 / gamma,
+        rtol=1e-12,
+    )
