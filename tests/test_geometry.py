@@ -282,3 +282,163 @@ def test_kerr_circular_orbit_velocity_exact():
     np.testing.assert_allclose(
         np.asarray(u), [1.414213562373095, -0.5773502691896257, 0.0, 0.0], atol=1e-8
     )
+
+
+# ---------------------------------------------------------------------------
+# Killing decomposition identities (circular_orbit.rs:249-320)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "geometry,x,probes",
+    [
+        (
+            Schwarzschild(radius=jnp.asarray(1.0), horizon_epsilon=jnp.asarray(1e-4)),
+            jnp.array([0.0, 6.0, jnp.pi / 2, 1.1]),
+            jnp.array([[1.0, -0.4, 0.02, 0.05], [-1.3, 0.2, 0.0, -0.08]]),
+        ),
+        (
+            Kerr(radius=jnp.asarray(1.0), a=jnp.asarray(0.499), horizon_epsilon=jnp.asarray(1e-4)),
+            jnp.array([0.0, 3.0, -4.0, 0.0]),
+            jnp.array([[1.0, 0.3, -0.2, 0.1], [-0.8, -0.5, 0.4, 0.0]]),
+        ),
+        (
+            KerrBL(radius=jnp.asarray(1.0), a=jnp.asarray(0.3), horizon_epsilon=jnp.asarray(1e-4)),
+            jnp.array([0.0, 5.0, jnp.pi / 2, 0.7]),
+            jnp.array([[1.0, -0.4, 0.02, 0.05], [-1.2, 0.1, -0.03, 0.09]]),
+        ),
+    ],
+    ids=("Schwarzschild", "Kerr", "KerrBL"),
+)
+def test_killing_decomposition_identities(geometry, x, probes):
+    """The circular-orbit four-velocity must be normalized (u·u = signature's
+    time sign) and satisfy the emitter-energy identity u·p = u^t p_t + u^φ p_φ
+    for arbitrary probe vectors, in every geometry/chart
+    (circular_orbit.rs:249-320). This is the identity the transport-free
+    redshift computer rests on."""
+    u, ok = geometry.circular_orbit_velocity(x)
+    assert bool(ok)
+    time_sign = float(geometry.signature()[0])
+    np.testing.assert_allclose(
+        float(geometry.inner_product(x, u, u)), time_sign, atol=1e-10
+    )
+
+    u_t, u_phi, _ = geometry.circular_orbit_killing_coefficients(x)
+    e_t = jnp.zeros_like(x).at[..., 0].set(1.0)
+    axial = geometry.axial_killing(x)
+    for p in probes:
+        p_t = float(geometry.inner_product(x, e_t, p))
+        p_phi = float(geometry.inner_product(x, axial, p))
+        direct = float(geometry.inner_product(x, u, p))
+        np.testing.assert_allclose(
+            direct, float(u_t) * p_t + float(u_phi) * p_phi, atol=1e-10
+        )
+
+
+def test_schwarzschild_limit_matches_closed_forms():
+    """a = 0 closed forms (circular_orbit.rs:160-171):
+    Ω = √(M/r³) and u^t = 1/√(1 − 3M/r)."""
+    r_s, r = 1.0, 5.0
+    m = 0.5 * r_s
+    np.testing.assert_allclose(
+        float(circular_orbit.angular_velocity(r_s, 0.0, jnp.asarray(r))),
+        np.sqrt(m / r**3),
+        rtol=1e-14,
+    )
+    u_t, _, ok = circular_orbit.killing_coefficients(r_s, 0.0, jnp.asarray(r))
+    assert bool(ok)
+    np.testing.assert_allclose(float(u_t), 1.0 / np.sqrt(1.0 - 3.0 * m / r), rtol=1e-14)
+
+
+def test_zamo_properties_across_charts():
+    """ZAMO in both Kerr charts at the same physical point: normalized,
+    zero angular momentum, chart-invariant Killing coefficients, and a = 0
+    reduction to the static observer (circular_orbit.rs:183-243)."""
+    r_s, a = 1.0, 0.499
+    kerr = Kerr(radius=jnp.asarray(r_s), a=jnp.asarray(a), horizon_epsilon=jnp.asarray(1e-4))
+    kbl = KerrBL(radius=jnp.asarray(r_s), a=jnp.asarray(a), horizon_epsilon=jnp.asarray(1e-4))
+
+    # Same physical point: BL (r=5, θ=π/2, φ=0) ≙ Cartesian (5, a, 0).
+    pos_bl = jnp.array([0.0, 5.0, jnp.pi / 2, 0.0])
+    pos_ks = jnp.array([0.0, 5.0, a, 0.0])
+
+    for geom, pos in ((kerr, pos_ks), (kbl, pos_bl)):
+        zamo = geom.zamo_velocity(pos)
+        axial = geom.axial_killing(pos)
+        np.testing.assert_allclose(float(geom.inner_product(pos, zamo, zamo)), -1.0, atol=1e-9)
+        np.testing.assert_allclose(float(geom.inner_product(pos, zamo, axial)), 0.0, atol=1e-9)
+
+    # Chart-invariant coefficients: the BL components ARE (u^t, u^φ).
+    u_t, u_phi = circular_orbit.zamo_killing_coefficients(r_s, a, 5.0, jnp.pi / 2)
+    zamo_bl = kbl.zamo_velocity(pos_bl)
+    np.testing.assert_allclose(float(zamo_bl[0]), float(u_t), rtol=1e-12)
+    np.testing.assert_allclose(float(zamo_bl[3]), float(u_phi), rtol=1e-12)
+
+    # a = 0: ZAMO reduces to the static observer.
+    _, u_phi0 = circular_orbit.zamo_killing_coefficients(1.0, 0.0, 5.0, 1.1)
+    np.testing.assert_allclose(float(u_phi0), 0.0, atol=1e-15)
+    schw = Schwarzschild(radius=jnp.asarray(1.0), horizon_epsilon=jnp.asarray(1e-4))
+    pos_s = jnp.array([0.0, 5.0, 1.1, 0.3])
+    np.testing.assert_allclose(
+        np.asarray(schw.zamo_velocity(pos_s)),
+        np.asarray(schw.stationary_velocity(pos_s)),
+        atol=1e-15,
+    )
+
+
+# ---------------------------------------------------------------------------
+# BL chart accessors and solver structure (kerr_bl.rs:705-712, 808-840, 1576+)
+# ---------------------------------------------------------------------------
+
+
+def test_bl_metric_is_symmetric():
+    g = np.asarray(metric_bl(1.0, 0.4, jnp.asarray(4.0), jnp.asarray(1.1)))
+    np.testing.assert_allclose(g, g.T, atol=1e-15)
+
+
+def test_bl_radial_coordinate_native_and_cartesian_input():
+    """radial_coordinate gives BL r for both the native BL chart and the
+    Cartesian embedding of the same physical point (kerr_bl.rs:808-840) —
+    disc intersections hand it Cartesian points."""
+    a = 0.5
+    kbl = KerrBL(radius=jnp.asarray(1.0), a=jnp.asarray(a), horizon_epsilon=jnp.asarray(1e-4))
+    bl = jnp.array([0.0, 7.5, jnp.pi / 2, 0.8])
+    cart = charts.bl_to_cartesian(a, bl)
+    np.testing.assert_allclose(float(kbl.radial_coordinate(bl, charts.BOYER_LINDQUIST)), 7.5)
+    np.testing.assert_allclose(
+        float(kbl.radial_coordinate(cart, charts.CARTESIAN)), 7.5, rtol=1e-10
+    )
+    # Off the equator too (the full implicit Kerr-Schild relation).
+    bl2 = jnp.array([0.0, 7.5, 1.2, 0.8])
+    cart2 = charts.bl_to_cartesian(a, bl2)
+    np.testing.assert_allclose(
+        float(kbl.radial_coordinate(cart2, charts.CARTESIAN)), 7.5, rtol=1e-10
+    )
+
+
+def test_bl_geodesic_rhs_structure():
+    """Mino-time ODE layout (kerr_bl.rs:1576-1620): ẏ = (dt, v_r, v_θ, dφ,
+    R'(r)/2, Θ'(θ)/2, 0, 0) — positions 4/5 are the velocities' own slots and
+    the conserved tail stays frozen."""
+    from gr_raytracer_tpu.geometry import kerr_bl as kbl
+
+    r_s, a, e, l_z, q = 1.0, 0.5, 1.0, 3.0, 1.0
+    solver = kbl.KerrBLSolver(
+        radius=jnp.asarray(r_s),
+        a=jnp.asarray(a),
+        e=jnp.asarray(e),
+        l_z=jnp.asarray(l_z),
+        q=jnp.asarray(q),
+    )
+    y = jnp.array([0.0, 5.0, 1.2, 0.3, 0.1, -0.05, 0.0, 0.0])
+    dy = solver.rhs(y)
+    np.testing.assert_allclose(float(dy[1]), 0.1, rtol=1e-15)
+    np.testing.assert_allclose(float(dy[2]), -0.05, rtol=1e-15)
+    np.testing.assert_allclose(
+        float(dy[4]), float(kbl.potential_r_derivative(5.0, r_s, a, e, l_z, q)) / 2.0, rtol=1e-14
+    )
+    np.testing.assert_allclose(
+        float(dy[5]), float(kbl.potential_theta_derivative(1.2, a, e, l_z, q)) / 2.0, rtol=1e-14
+    )
+    np.testing.assert_allclose(float(dy[6]), 0.0, atol=0.0)
+    np.testing.assert_allclose(float(dy[7]), 0.0, atol=0.0)

@@ -439,3 +439,28 @@ def test_camera_ray_doppler_closed_forms():
         1.0 / gamma,
         rtol=1e-12,
     )
+
+
+def test_redshift_is_invariant_under_momentum_negation():
+    """g must not depend on the traced ray's time orientation: negating the
+    photon momentum flips both energies and the ratio cancels
+    (redshift.rs:148-168)."""
+    geometry = EuclideanSpace()
+    from gr_raytracer_tpu.rendering.redshift import redshift_from_energies
+
+    position = jnp.zeros(4)
+    observer = jnp.array([1.0, 0.0, 0.0, 0.0])
+    v = 0.2
+    gamma = 1.0 / np.sqrt(1.0 - v * v)
+    emitter = jnp.array([gamma, gamma * v, 0.0, 0.0])
+    momentum = jnp.array([-1.0, -1.0, 0.0, 0.0])
+
+    def g_for(p):
+        return float(
+            redshift_from_energies(
+                geometry.inner_product(position, emitter, p),
+                geometry.inner_product(position, observer, p),
+            )
+        )
+
+    np.testing.assert_allclose(g_for(momentum), g_for(-momentum), rtol=1e-15)

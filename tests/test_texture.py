@@ -86,3 +86,38 @@ def test_blackbody_beaming_stacks_on_physical():
     got = sample(mapper, 0.0, 0.0, t=6000.0, z=z)
     want = sample(base, 0.0, 0.0, t=6000.0, z=z)
     np.testing.assert_allclose(got[:3], want[:3] * z**3, rtol=1e-12)
+
+
+def test_blackbody_z_one_matches_lut_sample():
+    """At z = 1 color_at_uv must be exactly the LUT entry at T_em
+    (texture.rs:402-412)."""
+    from gr_raytracer_tpu.rendering.texture import BlackBodyMap
+
+    mapper = BlackBodyMap.create(0.0)
+    for t in (1_000.0, 5_000.0, 10_000.0):
+        observed = np.asarray(mapper.color_at_uv(0.0, 0.0, jnp.asarray(t), jnp.asarray(1.0)))
+        lut = np.asarray(mapper.sample(jnp.asarray(t)))
+        np.testing.assert_allclose(observed, lut, rtol=1e-12)
+
+
+def test_blackbody_boost_increases_every_component():
+    """Doubling z must raise each XYZ component — the Wien T·z shift plus the
+    implicit z⁵ boost is present and not inverted (texture.rs:414-429)."""
+    from gr_raytracer_tpu.rendering.texture import BlackBodyMap
+
+    mapper = BlackBodyMap.create(0.0)
+    base = np.asarray(mapper.color_at_uv(0.0, 0.0, jnp.asarray(6000.0), jnp.asarray(1.0)))
+    boosted = np.asarray(mapper.color_at_uv(0.0, 0.0, jnp.asarray(6000.0), jnp.asarray(2.0)))
+    assert (boosted[:3] > base[:3]).all()
+
+
+def test_blackbody_direct_xyz_boost_doubles_wien_shift():
+    """The direct (non-LUT) integration path: blackbody_xyz(T, z) equals
+    z-scaled physics — cross-check z⁵·B(λz, T) against blackbody_xyz(T·z)·z⁵
+    · (1/z⁵) consistency via the Wien identity B(λ·z, T) = B(λ, T·z)/z⁵."""
+    from gr_raytracer_tpu.rendering import blackbody
+
+    t, z = 6000.0, 1.5
+    shifted = np.asarray(blackbody.blackbody_xyz(jnp.asarray(t), jnp.asarray(z)))
+    wien = np.asarray(blackbody.blackbody_xyz(jnp.asarray(t * z), jnp.asarray(1.0)))
+    np.testing.assert_allclose(shifted, wien, rtol=1e-10)
