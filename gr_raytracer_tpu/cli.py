@@ -226,7 +226,12 @@ def cmd_render_ray_at(args, dtype):
     position = charts.from_cartesian(cart, geometry.chart, geometry.spin)
 
     tet = geometry.tetrad(position)
-    if geometry.chart == charts.CARTESIAN:
+    if geometry.chart != charts.SPHERICAL:
+        # Cartesian charts AND Boyer-Lindquist take the direction components
+        # as raw coefficients on the spatial tetrad axes — the reference's
+        # KerrBL adapter performs no Cartesian projection (cli/kerr.rs:84-98,
+        # cli/kerr_bl.rs:88-107), so for BL "x,y,z" mean (φ̂, θ̂, r̂)-aligned
+        # frame axes, not world Cartesian directions.
         coeffs = jnp.asarray([dx, dy, dz], dtype)
     else:
         # Spherical-chart adapters project the Cartesian direction onto the

@@ -107,3 +107,61 @@ def test_render_ray_smoke(tmp_path):
     lines = out.read_text().strip().split("\n")
     assert lines[0] == "i,t,tau,x,y,z"
     assert len(lines) > 2
+
+
+GEOMETRY_BLOCKS = {
+    "euclidean": "[geometry_type.Euclidean]",
+    "schwarzschild": "[geometry_type.Schwarzschild]\nradius = 1.0\nhorizon_epsilon = 1e-5",
+    "kerr": "[geometry_type.Kerr]\nradius = 1.0\na = 0.5\nhorizon_epsilon = 1e-5",
+    "kerr_bl": "[geometry_type.KerrBL]\nradius = 1.0\na = 0.5\nhorizon_epsilon = 1e-5",
+}
+
+
+@pytest.mark.parametrize("geometry", sorted(GEOMETRY_BLOCKS))
+def test_render_ray_at(tmp_path, geometry):
+    """render-ray-at writes an `i,t,tau,x,y,z` CSV with one row per step + 1
+    from an arbitrary Cartesian position/direction, for every geometry's CLI
+    adapter (cli/kerr.rs:113-153, cli/schwarzschild.rs, cli/kerr_bl.rs)."""
+    scene_file = tmp_path / "s.toml"
+    scene_file.write_text(
+        "celestial_temperature = 0.0\n"
+        "[celestial_texture.Checker]\n"
+        "beaming_exponent = 0.0\nwidth = 4.0\nheight = 4.0\n"
+        "color1 = [0, 255, 0]\ncolor2 = [0, 100, 0]\n"
+        + GEOMETRY_BLOCKS[geometry] + "\n"
+    )
+    out = tmp_path / "ray.csv"
+    cli.main(
+        [
+            "--f64",
+            "--max-steps", "10", "--max-radius", "20", "--step-size", "0.01",
+            "-c", str(scene_file),
+            "render-ray-at",
+            "-p", "0,4,-18",
+            "-d", "0,1,0",
+            "--filename", str(out),
+        ]
+    )
+    lines = out.read_text().strip().split("\n")
+    assert lines[0] == "i,t,tau,x,y,z"
+    # 10-step budget, ray starts far from everything: header + <= 11 rows,
+    # all finite Cartesian coordinates.
+    assert 2 <= len(lines) <= 12
+    for line in lines[1:]:
+        vals = [float(v) for v in line.split(",")]
+        assert len(vals) == 6 and np.isfinite(vals).all()
+    first = [float(v) for v in lines[1].split(",")]
+    last = [float(v) for v in lines[-1].split(",")]
+    if geometry in ("kerr_bl", "schwarzschild"):
+        # Reference-faithful quirks: the KerrBL adapter treats direction
+        # components as raw tetrad-axis coefficients (cli/kerr_bl.rs:88-107)
+        # — axis y is the Gram-Schmidt θ̂, pointing toward −y_world at
+        # (0, 4, −18); and the Schwarzschild adapter's (φ̂, −θ̂, −r̂)
+        # projection (cli/schwarzschild.rs:96-112) is applied to a tetrad
+        # whose axes are (φ̂, +θ̂, +r̂) (schwarzschild.rs:116-132), so the
+        # spatial part comes out NEGATED relative to the requested world
+        # direction. Both reproduced exactly.
+        assert last[4] < first[4]
+    else:
+        # Euclidean/Kerr Cartesian adapters give world-direction semantics.
+        assert last[4] > first[4]
