@@ -442,3 +442,46 @@ def test_bl_geodesic_rhs_structure():
     )
     np.testing.assert_allclose(float(dy[6]), 0.0, atol=0.0)
     np.testing.assert_allclose(float(dy[7]), 0.0, atol=0.0)
+
+
+# ---------------------------------------------------------------------------
+# Lorentz-boosted tetrads (kerr.rs:560-640, schwarzschild.rs:442-500)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "geometry,cart",
+    [
+        (
+            Schwarzschild(radius=jnp.asarray(2.0), horizon_epsilon=jnp.asarray(1e-5)),
+            jnp.array([2.0, 3.0, 4.0, 5.0]),
+        ),
+        (
+            Kerr(radius=jnp.asarray(2.0), a=jnp.asarray(0.0), horizon_epsilon=jnp.asarray(1e-5)),
+            jnp.array([2.0, 3.0, 4.0, 5.0]),
+        ),
+        (
+            Kerr(radius=jnp.asarray(1.0), a=jnp.asarray(0.45), horizon_epsilon=jnp.asarray(1e-5)),
+            jnp.array([0.0, 6.0, -2.0, 1.5]),
+        ),
+        (
+            KerrBL(radius=jnp.asarray(1.0), a=jnp.asarray(0.45), horizon_epsilon=jnp.asarray(1e-5)),
+            jnp.array([0.0, 6.0, -2.0, 1.5]),
+        ),
+    ],
+    ids=("Schwarzschild", "Kerr-a0", "Kerr", "KerrBL"),
+)
+def test_lorentz_transformed_tetrad_orthonormal(geometry, cart):
+    """Boosting the geometry tetrad to a static observer keeps it orthonormal,
+    maps e_t onto the observer's four-velocity, and keeps t − z null
+    (test_lorentz_transformed_tetrad_orthonormal, kerr.rs:560-640)."""
+    x = charts.from_cartesian(cart, geometry.chart, geometry.spin)
+    velocity = geometry.stationary_velocity(x)
+    tet = geometry.tetrad(x)
+    lam = geometry.lorentz_transformation(x, velocity)
+    boosted = jnp.einsum("ij,kj->ki", lam, tet)
+
+    validate_tetrad(geometry, x, boosted, tol=1e-9)
+    np.testing.assert_allclose(np.asarray(boosted[0]), np.asarray(velocity), atol=1e-9)
+    k = boosted[0] - boosted[3]
+    np.testing.assert_allclose(float(geometry.inner_product(x, k, k)), 0.0, atol=1e-8)
