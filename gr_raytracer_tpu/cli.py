@@ -44,6 +44,14 @@ def _build_parser():
     p.add_argument(
         "--chunk-size", type=int, default=65536, help="rays per device dispatch"
     )
+    p.add_argument(
+        "--devices",
+        type=int,
+        default=1,
+        help="shard each ray chunk over the first N local devices (0 = all); "
+        "the multi-chip analog of the reference's RAYON_NUM_THREADS "
+        "(docs/example-render-commands.md:59-63)",
+    )
 
     sub = p.add_subparsers(dest="action", required=True)
 
@@ -182,6 +190,17 @@ def cmd_render(args, dtype):
     mask_color = None
     if args.show_sampling_mask:
         mask_color = tuple(np.asarray(srgb8_to_xyza(np.asarray(opts.sampling_mask_color))))
+    mesh = None
+    if args.devices != 1:
+        import jax
+
+        from gr_raytracer_tpu.parallel.mesh import ray_mesh
+
+        devs = jax.devices()
+        want = len(devs) if args.devices <= 0 else min(args.devices, len(devs))
+        if want > 1:
+            mesh = ray_mesh(devs[:want])
+            print(f"sharding rays over {want} devices", file=sys.stderr)
     t0 = time.time()
     out = rt.render_section(
         scene,
@@ -192,6 +211,7 @@ def cmd_render(args, dtype):
         chunk_size=args.chunk_size,
         sampling_mask_color=mask_color,
         progress=True,
+        mesh=mesh,
     )
     rt.write_image(args.filename, out.color, tone_mapping=args.tone_mapping)
     print(f"saved image to {args.filename} ({time.time() - t0:.1f}s)")

@@ -165,3 +165,28 @@ def test_render_ray_at(tmp_path, geometry):
     else:
         # Euclidean/Kerr Cartesian adapters give world-direction semantics.
         assert last[4] > first[4]
+
+
+def test_render_devices_flag_matches_single_device(tmp_path):
+    """`--devices 0` shards each ray chunk over all (virtual) local devices;
+    the image must match the single-device render exactly — rays are a pure
+    batch axis, so GSPMD partitioning inserts no collectives and no
+    reordering (the multi-chip analog of RAYON_NUM_THREADS)."""
+    scene_file = tmp_path / "s.toml"
+    scene_file.write_text(SCENE)
+    common = [
+        "--f64",
+        "--width", "6", "--height", "6",
+        "--max-steps", "300", "--max-radius", "30", "--step-size", "0.1",
+        "--camera-position", "10,0,0",
+        "-c", str(scene_file),
+    ]
+    out1 = tmp_path / "one.png"
+    outn = tmp_path / "many.png"
+    cli.main(common + ["render", "--filename", str(out1)])
+    cli.main(common[:1] + ["--devices", "0"] + common[1:] + ["render", "--filename", str(outn)])
+    from PIL import Image
+
+    a = np.asarray(Image.open(out1))
+    b = np.asarray(Image.open(outn))
+    np.testing.assert_array_equal(a, b)

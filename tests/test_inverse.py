@@ -1,0 +1,70 @@
+"""Inverse-rendering API: recover scene parameters by gradient descent.
+
+Packages the px-gradient capability (BASELINE.json) as an optimization
+loop — the reference (forward-only Rust) has no analog; the oracle is
+self-consistency: a target rendered at known parameters must pull a
+mis-initialized copy toward those values.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gr_raytracer_tpu import inverse, presets
+from gr_raytracer_tpu.rendering import camera as cam
+from gr_raytracer_tpu.rendering import scene as scn
+
+ROWS = COLS = 8
+A_TRUE = 0.62
+A_INIT = 0.40
+
+
+def _render(params):
+    scene = presets.build_kerr_flagship(
+        params, ROWS, COLS, max_steps=300, max_radius=30.0, step_size=0.05,
+        differentiable=True,
+    )
+    rr, cc = jnp.meshgrid(
+        jnp.arange(ROWS, dtype=jnp.float64),
+        jnp.arange(COLS, dtype=jnp.float64),
+        indexing="ij",
+    )
+    x, p = cam.pixel_rays(scene.camera, rr.ravel(), cc.ravel())
+    return scn.trace_rays(scene, x, p).color
+
+
+@pytest.fixture(scope="module")
+def target():
+    params = presets.kerr_flagship_params(jnp.float64)
+    params = dict(params, a=jnp.asarray(A_TRUE, jnp.float64))
+    return jax.jit(_render)(params)
+
+
+def test_fit_recovers_spin(target):
+    init = presets.kerr_flagship_params(jnp.float64)
+    init = dict(init, a=jnp.asarray(A_INIT, jnp.float64))
+    fitted, losses = inverse.fit(
+        _render, init, target, trainable=["a"], steps=12, learning_rate=5e-2
+    )
+    # Loss decreases and the spin moves most of the way to a*.
+    assert losses[-1] < losses[0]
+    assert abs(float(fitted["a"]) - A_TRUE) < 0.4 * abs(A_INIT - A_TRUE)
+    # Frozen parameters did not move.
+    np.testing.assert_array_equal(
+        np.asarray(fitted["camera_position"]), np.asarray(init["camera_position"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(fitted["disc_temperature"]), np.asarray(init["disc_temperature"])
+    )
+
+
+def test_fit_rejects_unknown_trainable():
+    init = presets.kerr_flagship_params(jnp.float64)
+    with pytest.raises(ValueError, match="not in params"):
+        inverse.fit(_render, init, jnp.zeros((1, 4)), trainable=["nope"], steps=1)
+
+
+def test_image_loss_zero_at_target(target):
+    assert float(inverse.image_loss(target, target)) == 0.0
+    assert float(inverse.image_loss(target, inverse.log_radiance(target))) == 0.0
