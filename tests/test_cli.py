@@ -190,3 +190,27 @@ def test_render_devices_flag_matches_single_device(tmp_path):
     a = np.asarray(Image.open(out1))
     b = np.asarray(Image.open(outn))
     np.testing.assert_array_equal(a, b)
+
+
+def test_blackbody_spectrum_smoke(tmp_path):
+    """blackbody-spectrum writes a T (x-axis) × z (y-axis) image
+    (cli/blackbody.rs:30-95): hotter columns shift toward blue, so the
+    blue/red balance must grow left → right along a row."""
+    out = tmp_path / "spec.png"
+    cli.main(
+        [
+            "--f64",
+            "blackbody-spectrum",
+            "--width", "8", "--height", "6",
+            "--min-temperature", "1000", "--max-temperature", "10000",
+            "--min-redshift", "0.5", "--max-redshift", "2.0",
+            "-f", str(out),
+        ]
+    )
+    from PIL import Image
+
+    img = np.asarray(Image.open(out)).astype(np.int32)
+    assert img.shape[:2] == (6, 8)
+    row = img[3]
+    assert row[0, 0] > row[0, 2]  # cool end: red over blue
+    assert (row[-1, 2] - row[-1, 0]) > (row[0, 2] - row[0, 0])  # hotter -> bluer
