@@ -533,25 +533,13 @@ def trace_pixels_chunked(
     cfg_i = scene.integration
     requeue = (cfg_i.max_steps + cfg_i.extra_attempts) > 2 * PHASE_ATTEMPTS
     t_start = time.time()
-    for start in range(0, n, chunk_size):
-        end = min(start + chunk_size, n)
-        m = end - start
-        rf = np.full((chunk_size,), row_f[0], dtype)
-        cf = np.full((chunk_size,), col_f[0], dtype)
-        rf[:m] = row_f[start:end]
-        cf[:m] = col_f[start:end]
-        if split:
-            c, k, stop, ovf = _trace_chunk_split(scene, rf, cf, put=put)
-        elif fast:
-            c, k, stop, ovf = jax.device_get(
-                _trace_chunk_fast(scene, put(rf), put(cf), mesh=mesh)
-            )
-        elif requeue:
-            c, k, stop, ovf = _trace_chunk_requeued(scene, rf, cf, put=put)
-        else:
-            c, k, stop, ovf = jax.device_get(_trace_chunk(scene, put(rf), put(cf)))
-        c, k = np.array(c), np.array(k)
-        stop, ovf = np.array(stop), np.array(ovf)
+
+    def _drain(chunk):
+        """Fetch a dispatched chunk's results and scatter them into the output
+        buffers. For the pipelined paths the arrays are still in flight on the
+        device; device_get is the fence (and a no-op on host arrays)."""
+        start, end, m, rf, cf, arrs = chunk
+        c, k, stop, ovf = (np.array(a) for a in jax.device_get(arrs))
         ovf_idx = np.nonzero(ovf[:m])[0]
         if ovf_idx.size:
             _retrace_overflow(scene, rf, cf, ovf_idx, c, k, stop)
@@ -559,14 +547,45 @@ def trace_pixels_chunked(
         classes[start:end] = k[:m]
         ok_all[start:end] = stop[:m] != scn.integ.STEP_FAILED
         if progress:
-            done = end
-            rate = done / max(time.time() - t_start, 1e-9)
-            eta = (n - done) / max(rate, 1e-9)
+            rate = end / max(time.time() - t_start, 1e-9)
+            eta = (n - end) / max(rate, 1e-9)
             print(
-                f"\r  traced {done}/{n} rays ({rate:.0f} rays/s, eta {eta:.0f}s)",
+                f"\r  traced {end}/{n} rays ({rate:.0f} rays/s, eta {eta:.0f}s)",
                 end="",
                 file=sys.stderr,
             )
+
+    # One-deep dispatch pipeline: the NEXT chunk is enqueued before the
+    # current one is drained, so host-side work (numpy prep, overflow
+    # re-trace, scatter) overlaps the device computing the next chunk.
+    # Only the single-dispatch paths pipeline; the requeue/split drivers
+    # synchronize with the host between internal phases, so they drain
+    # in-line.
+    pending = None
+    for start in range(0, n, chunk_size):
+        end = min(start + chunk_size, n)
+        m = end - start
+        rf = np.full((chunk_size,), row_f[0], dtype)
+        cf = np.full((chunk_size,), col_f[0], dtype)
+        rf[:m] = row_f[start:end]
+        cf[:m] = col_f[start:end]
+        if split or requeue:
+            if pending is not None:
+                _drain(pending)
+                pending = None
+            fn = _trace_chunk_split if split else _trace_chunk_requeued
+            _drain((start, end, m, rf, cf, fn(scene, rf, cf, put=put)))
+            continue
+        if fast:
+            arrs = _trace_chunk_fast(scene, put(rf), put(cf), mesh=mesh)
+        else:
+            arrs = _trace_chunk(scene, put(rf), put(cf))
+        nxt = (start, end, m, rf, cf, arrs)
+        if pending is not None:
+            _drain(pending)
+        pending = nxt
+    if pending is not None:
+        _drain(pending)
     if progress:
         print(file=sys.stderr)
     return colors, classes, ok_all
