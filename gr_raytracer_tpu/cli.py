@@ -57,6 +57,15 @@ def _build_parser():
 
     r = sub.add_parser("render")
     r.add_argument("--filename", type=str, default="render.png")
+    r.add_argument(
+        "--checkpoint",
+        nargs="?",
+        const="",
+        default=None,
+        help="checkpoint completed ray chunks to PATH(.pass1/.aa).npz and "
+        "resume an interrupted render from them (default PATH: the output "
+        "filename); removed after a successful save",
+    )
     r.add_argument("--from-row", type=int, default=None)
     r.add_argument("--from-col", type=int, default=None)
     r.add_argument("--to-row", type=int, default=None)
@@ -201,6 +210,25 @@ def cmd_render(args, dtype):
         if want > 1:
             mesh = ray_mesh(devs[:want])
             print(f"sharding rays over {want} devices", file=sys.stderr)
+    ckpt_path = None
+    ckpt_key = ""
+    if args.checkpoint is not None:
+        import hashlib
+
+        ckpt_path = args.checkpoint or args.filename
+        # The key pins everything that determines the ray stream; any change
+        # invalidates a stale checkpoint instead of corrupting the frame.
+        cfg_text = ""
+        if args.config_file:
+            with open(args.config_file) as f:
+                cfg_text = f.read()
+        fields = (
+            cfg_text, args.width, args.height, args.camera_position, args.phi,
+            args.theta, args.psi, args.max_steps, args.max_radius,
+            args.step_size, args.epsilon, args.from_row, args.from_col,
+            args.to_row, args.to_col, args.chunk_size, args.f64,
+        )
+        ckpt_key = hashlib.sha256(repr(fields).encode()).hexdigest()
     t0 = time.time()
     out = rt.render_section(
         scene,
@@ -212,8 +240,13 @@ def cmd_render(args, dtype):
         sampling_mask_color=mask_color,
         progress=True,
         mesh=mesh,
+        checkpoint_path=ckpt_path,
+        checkpoint_key=ckpt_key,
     )
     rt.write_image(args.filename, out.color, tone_mapping=args.tone_mapping)
+    if ckpt_path:
+        for stage in ("pass1", "aa"):
+            rt.ChunkCheckpoint(f"{ckpt_path}.{stage}.npz", "").remove()
     print(f"saved image to {args.filename} ({time.time() - t0:.1f}s)")
 
 

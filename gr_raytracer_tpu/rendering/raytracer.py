@@ -19,6 +19,7 @@ Reference behavior: src/rendering/raytracer.rs. TPU mapping:
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 from typing import NamedTuple, Optional
@@ -498,8 +499,67 @@ def _retrace_overflow(scene, rf, cf, idx, colors_c, classes_c, stop_c):
         )
 
 
+class ChunkCheckpoint:
+    """Crash-safe partial-frame store for long renders.
+
+    The reference's only partial-work primitive is the section render
+    (raytracer.rs:460; an external script must stitch crops). This goes
+    further: the chunked driver appends each completed chunk's results to an
+    .npz (atomic tmp+rename), so an interrupted multi-hour render resumes at
+    the last completed chunk instead of ray zero. `key` must encode
+    everything that determines the ray stream (scene digest, shape, section,
+    stage) — a mismatch silently starts fresh."""
+
+    def __init__(self, path: str, key: str):
+        self.path = str(path)
+        self.key = str(key)
+
+    def load(self, n: int, chunk_size: int):
+        """(resume_at, colors, classes, ok) — resume_at is 0 with no/stale
+        checkpoint; arrays are None in that case."""
+        try:
+            d = np.load(self.path, allow_pickle=False)
+        except (FileNotFoundError, OSError, ValueError):
+            return 0, None, None, None
+        if (
+            str(d["key"]) != self.key
+            or int(d["n"]) != n
+            or int(d["chunk_size"]) != chunk_size
+        ):
+            return 0, None, None, None
+        return int(d["upto"]), d["colors"], d["classes"], d["ok"]
+
+    def save(self, upto: int, colors, classes, ok, n: int, chunk_size: int):
+        tmp = self.path + ".tmp"
+        with open(tmp, "wb") as f:
+            np.savez_compressed(
+                f,
+                key=self.key,
+                n=n,
+                chunk_size=chunk_size,
+                upto=upto,
+                colors=colors,
+                classes=classes,
+                ok=ok,
+            )
+        os.replace(tmp, self.path)
+
+    def remove(self):
+        try:
+            os.remove(self.path)
+        except FileNotFoundError:
+            pass
+
+
 def trace_pixels_chunked(
-    scene, row_f, col_f, chunk_size: int, progress: bool = False, mesh=None
+    scene,
+    row_f,
+    col_f,
+    chunk_size: int,
+    progress: bool = False,
+    mesh=None,
+    checkpoint: Optional[ChunkCheckpoint] = None,
+    checkpoint_every: int = 4,
 ):
     """Trace arbitrary (fractional) pixel coords in fixed-size chunks.
     Returns (color [N, 4], ray_class [N], ok [N]) as numpy arrays; ok=False
@@ -525,6 +585,17 @@ def trace_pixels_chunked(
     colors = np.zeros((n, 4), dtype)
     classes = np.zeros((n,), np.int32)
     ok_all = np.ones((n,), bool)
+    resume_at = 0
+    if checkpoint is not None:
+        resume_at, c0, k0, ok0 = checkpoint.load(n, chunk_size)
+        if resume_at:
+            colors[:resume_at] = c0[:resume_at]
+            classes[:resume_at] = k0[:resume_at]
+            ok_all[:resume_at] = ok0[:resume_at]
+            print(
+                f"[raytracer] resuming from checkpoint at ray {resume_at}/{n}",
+                file=sys.stderr,
+            )
     split = _has_volumetric(scene)
     fast = not split and _use_fast_path(scene)
     # Requeue compaction pays when the budget dwarfs a phase (its savings
@@ -546,8 +617,12 @@ def trace_pixels_chunked(
         colors[start:end] = c[:m]
         classes[start:end] = k[:m]
         ok_all[start:end] = stop[:m] != scn.integ.STEP_FAILED
+        if checkpoint is not None and (
+            end == n or (end // chunk_size) % max(checkpoint_every, 1) == 0
+        ):
+            checkpoint.save(end, colors, classes, ok_all, n, chunk_size)
         if progress:
-            rate = end / max(time.time() - t_start, 1e-9)
+            rate = (end - resume_at) / max(time.time() - t_start, 1e-9)
             eta = (n - end) / max(rate, 1e-9)
             print(
                 f"\r  traced {end}/{n} rays ({rate:.0f} rays/s, eta {eta:.0f}s)",
@@ -562,7 +637,7 @@ def trace_pixels_chunked(
     # synchronize with the host between internal phases, so they drain
     # in-line.
     pending = None
-    for start in range(0, n, chunk_size):
+    for start in range(resume_at, n, chunk_size):
         end = min(start + chunk_size, n)
         m = end - start
         rf = np.full((chunk_size,), row_f[0], dtype)
@@ -612,16 +687,28 @@ def render_section(
     sampling_mask_color: Optional[tuple] = None,
     progress: bool = False,
     mesh=None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_key: str = "",
 ) -> RenderOutput:
     """Render a section [from_row, to_row) × [from_col, to_col) of the camera
     grid, with the scene's adaptive supersampling (raytracer.rs:460-497).
 
     With sampling_mask_color set (an XYZA tuple), selected pixels are painted
-    instead of re-traced (--show-sampling-mask)."""
+    instead of re-traced (--show-sampling-mask).
+
+    With checkpoint_path set, each pass saves completed chunks to
+    `<path>.pass1.npz` / `<path>.aa.npz` and resumes from them; pass
+    `checkpoint_key` encoding the scene/options so stale files are ignored.
+    The caller removes the files after a successful save (see cli.cmd_render)."""
     camera = scene.camera
     to_row = camera.rows if to_row is None else to_row
     to_col = camera.columns if to_col is None else to_col
     h, w = to_row - from_row, to_col - from_col
+    ckpt = lambda stage: (
+        ChunkCheckpoint(f"{checkpoint_path}.{stage}.npz", f"{checkpoint_key}:{stage}")
+        if checkpoint_path
+        else None
+    )
 
     rr, cc = np.meshgrid(
         np.arange(from_row, to_row, dtype=np.float64),
@@ -629,7 +716,8 @@ def render_section(
         indexing="ij",
     )
     colors, classes, _ = trace_pixels_chunked(
-        scene, rr.ravel(), cc.ravel(), chunk_size, progress, mesh=mesh
+        scene, rr.ravel(), cc.ravel(), chunk_size, progress, mesh=mesh,
+        checkpoint=ckpt("pass1"),
     )
     colors = colors.reshape(h, w, 4)
     classes = classes.reshape(h, w)
@@ -663,7 +751,8 @@ def render_section(
         row_f = (abs_r[:, None] + (dy - 0.5)).ravel()
         col_f = (abs_c[:, None] + (dx - 0.5)).ravel()
         sub_colors, _, sub_ok = trace_pixels_chunked(
-            scene, row_f, col_f, chunk_size, progress, mesh=mesh
+            scene, row_f, col_f, chunk_size, progress, mesh=mesh,
+            checkpoint=ckpt("aa"),
         )
         # Average over SUCCESSFUL samples only — a failed sub-ray must not
         # drag the pixel toward black; all-failed keeps the 1-spp base color

@@ -214,3 +214,26 @@ def test_blackbody_spectrum_smoke(tmp_path):
     row = img[3]
     assert row[0, 0] > row[0, 2]  # cool end: red over blue
     assert (row[-1, 2] - row[-1, 0]) > (row[0, 2] - row[0, 0])  # hotter -> bluer
+
+
+def test_render_checkpoint_flag(tmp_path):
+    """--checkpoint writes resumable chunk files during the render, produces
+    the same image, and removes them after a successful save."""
+    scene_file = tmp_path / "s.toml"
+    scene_file.write_text(SCENE)
+    common = [
+        "--f64",
+        "--width", "6", "--height", "6",
+        "--max-steps", "300", "--max-radius", "30", "--step-size", "0.1",
+        "--camera-position", "10,0,0",
+        "-c", str(scene_file),
+    ]
+    plain = tmp_path / "plain.png"
+    ck = tmp_path / "ck.png"
+    cli.main(common + ["render", "--filename", str(plain)])
+    cli.main(common + ["render", "--filename", str(ck), "--checkpoint"])
+    from PIL import Image
+
+    np.testing.assert_array_equal(np.asarray(Image.open(plain)), np.asarray(Image.open(ck)))
+    assert not (tmp_path / "ck.png.pass1.npz").exists()
+    assert not (tmp_path / "ck.png.aa.npz").exists()

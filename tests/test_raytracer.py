@@ -353,3 +353,79 @@ def test_save_ray_data_writes_per_pixel_csvs(tmp_path, monkeypatch):
             lines = path.read_text().strip().split("\n")
             assert lines[0] == "i,t,tau,x,y,z"
             assert len(lines) > 2
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint/resume (beyond the reference: its only partial-work primitive is
+# the section render, raytracer.rs:460)
+# ---------------------------------------------------------------------------
+
+
+def test_checkpoint_resume_matches_uninterrupted(tmp_path):
+    from gr_raytracer_tpu.rendering.raytracer import ChunkCheckpoint, trace_pixels_chunked
+
+    scene = euclid_scene(rows=9, cols=9, enabled=False)
+    n = 48
+    rf = (np.arange(n, dtype=np.float64) // 8) % scene.camera.rows
+    cf = np.arange(n, dtype=np.float64) % 8
+
+    full_c, full_k, full_ok = trace_pixels_chunked(scene, rf, cf, chunk_size=16)
+
+    path = str(tmp_path / "ck.npz")
+    ck = ChunkCheckpoint(path, "key1")
+    # Save every chunk so an "interruption" after any chunk is recoverable.
+    c1, k1, ok1 = trace_pixels_chunked(
+        scene, rf, cf, chunk_size=16, checkpoint=ck, checkpoint_every=1
+    )
+    np.testing.assert_array_equal(c1, full_c)
+
+    # Simulate a crash after the FIRST chunk: rewind the stored upto.
+    d = dict(np.load(path, allow_pickle=False))
+    d["upto"] = 16
+    d["colors"][16:] = -1.0  # poison the un-renewed region
+    with open(path, "wb") as f:
+        np.savez_compressed(f, **d)
+    c2, k2, ok2 = trace_pixels_chunked(
+        scene, rf, cf, chunk_size=16, checkpoint=ChunkCheckpoint(path, "key1")
+    )
+    np.testing.assert_array_equal(c2, full_c)
+    np.testing.assert_array_equal(k2, full_k)
+    np.testing.assert_array_equal(ok2, full_ok)
+
+    # A mismatched key / n / chunk size must be IGNORED, not half-applied.
+    c3, _, _ = trace_pixels_chunked(
+        scene, rf, cf, chunk_size=16, checkpoint=ChunkCheckpoint(path, "other-key")
+    )
+    np.testing.assert_array_equal(c3, full_c)
+    c4, _, _ = trace_pixels_chunked(
+        scene, rf, cf, chunk_size=24, checkpoint=ChunkCheckpoint(path, "key1")
+    )
+    np.testing.assert_array_equal(c4, full_c)
+
+
+def test_checkpoint_complete_skips_all_tracing(tmp_path, monkeypatch):
+    from gr_raytracer_tpu.rendering import raytracer as rt
+
+    scene = euclid_scene(rows=9, cols=9, enabled=False)
+    n = 16
+    rf = np.zeros(n)
+    cf = np.arange(n, dtype=np.float64) % 8
+    path = str(tmp_path / "ck.npz")
+    ck = rt.ChunkCheckpoint(path, "k")
+    c1, k1, ok1 = rt.trace_pixels_chunked(
+        scene, rf, cf, chunk_size=16, checkpoint=ck, checkpoint_every=1
+    )
+
+    def boom(*a, **kw):  # any dispatch after a complete checkpoint is a bug
+        raise AssertionError("traced a chunk despite a complete checkpoint")
+
+    monkeypatch.setattr(rt, "_trace_chunk", boom)
+    monkeypatch.setattr(rt, "_trace_chunk_fast", boom)
+    monkeypatch.setattr(rt, "_trace_chunk_requeued", boom)
+    monkeypatch.setattr(rt, "_trace_chunk_split", boom)
+    c2, k2, ok2 = rt.trace_pixels_chunked(
+        scene, rf, cf, chunk_size=16, checkpoint=rt.ChunkCheckpoint(path, "k")
+    )
+    np.testing.assert_array_equal(c2, c1)
+    np.testing.assert_array_equal(k2, k1)
+    np.testing.assert_array_equal(ok2, ok1)
