@@ -19,7 +19,7 @@ echo "== hero #4 (kerr 1000x1000 @ 1e6 steps) =="
 timeout 3600 python -m gr_raytracer_tpu --width=1000 --height=1000 \
   --max-steps=1000000 --camera-position=-10,0,-0.5 --theta=1.52 \
   --psi=-1.57 --phi=0 -c /root/reference/scene-definitions/kerr.toml \
-  render --filename "$LOG/render-kerr-1000.png" 2>&1 | tail -3 | tee "$LOG/hero4.log"
+  render --filename "$LOG/render-kerr-1000.png" --checkpoint 2>&1 | tail -3 | tee "$LOG/hero4.log"
 
 echo "== lane-tile sweep =="
 for t in 1024 2048 4096; do
