@@ -45,6 +45,14 @@ def _build_parser():
         "--chunk-size", type=int, default=65536, help="rays per device dispatch"
     )
     p.add_argument(
+        "--profile",
+        type=str,
+        default=None,
+        metavar="DIR",
+        help="write a jax.profiler trace of the render to DIR "
+        "(view in Perfetto / TensorBoard)",
+    )
+    p.add_argument(
         "--devices",
         type=int,
         default=1,
@@ -230,19 +238,27 @@ def cmd_render(args, dtype):
         )
         ckpt_key = hashlib.sha256(repr(fields).encode()).hexdigest()
     t0 = time.time()
-    out = rt.render_section(
-        scene,
-        from_row=args.from_row or 0,
-        from_col=args.from_col or 0,
-        to_row=args.to_row,
-        to_col=args.to_col,
-        chunk_size=args.chunk_size,
-        sampling_mask_color=mask_color,
-        progress=True,
-        mesh=mesh,
-        checkpoint_path=ckpt_path,
-        checkpoint_key=ckpt_key,
-    )
+    import contextlib
+
+    profile_ctx = contextlib.nullcontext()
+    if args.profile:
+        from gr_raytracer_tpu.utils import profiling
+
+        profile_ctx = profiling.trace(args.profile)
+    with profile_ctx:
+        out = rt.render_section(
+            scene,
+            from_row=args.from_row or 0,
+            from_col=args.from_col or 0,
+            to_row=args.to_row,
+            to_col=args.to_col,
+            chunk_size=args.chunk_size,
+            sampling_mask_color=mask_color,
+            progress=True,
+            mesh=mesh,
+            checkpoint_path=ckpt_path,
+            checkpoint_key=ckpt_key,
+        )
     rt.write_image(args.filename, out.color, tone_mapping=args.tone_mapping)
     if ckpt_path:
         for stage in ("pass1", "aa"):

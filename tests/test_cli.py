@@ -237,3 +237,23 @@ def test_render_checkpoint_flag(tmp_path):
     np.testing.assert_array_equal(np.asarray(Image.open(plain)), np.asarray(Image.open(ck)))
     assert not (tmp_path / "ck.png.pass1.npz").exists()
     assert not (tmp_path / "ck.png.aa.npz").exists()
+
+
+def test_render_profile_flag(tmp_path):
+    """--profile DIR captures a jax.profiler trace of the render."""
+    scene_file = tmp_path / "s.toml"
+    scene_file.write_text(SCENE)
+    prof = tmp_path / "trace"
+    cli.main(
+        [
+            "--f64",
+            "--width", "4", "--height", "4",
+            "--max-steps", "100", "--max-radius", "30", "--step-size", "0.1",
+            "--camera-position", "10,0,0",
+            "--profile", str(prof),
+            "-c", str(scene_file),
+            "render", "--filename", str(tmp_path / "out.png"),
+        ]
+    )
+    traces = list(prof.rglob("*.trace.json.gz")) + list(prof.rglob("*.xplane.pb"))
+    assert traces, f"no profiler artifacts under {prof}"
