@@ -68,3 +68,32 @@ def test_fit_rejects_unknown_trainable():
 def test_image_loss_zero_at_target(target):
     assert float(inverse.image_loss(target, target)) == 0.0
     assert float(inverse.image_loss(target, inverse.log_radiance(target))) == 0.0
+
+
+def test_fit_joint_two_parameters(target):
+    """Joint recovery of spin AND disc temperature from the same target —
+    the optimizer must make progress on both axes simultaneously."""
+    t_true = float(presets.kerr_flagship_params(jnp.float64)["disc_temperature"])
+    init = presets.kerr_flagship_params(jnp.float64)
+    init = dict(
+        init,
+        a=jnp.asarray(A_INIT, jnp.float64),
+        disc_temperature=jnp.asarray(t_true * 1.3, jnp.float64),
+    )
+    import optax
+
+    # Per-parameter learning rates (spin is O(1), temperature O(1e4)).
+    fitted, losses = inverse.fit(
+        _render,
+        init,
+        target,
+        trainable=["a", "disc_temperature"],
+        steps=12,
+        optimizer=optax.multi_transform(
+            {"a": optax.adam(5e-2), "t": optax.adam(t_true * 0.05)},
+            {k: ("t" if k == "disc_temperature" else "a") for k in init},
+        ),
+    )
+    assert losses[-1] < losses[0]
+    assert abs(float(fitted["a"]) - A_TRUE) < abs(A_INIT - A_TRUE)
+    assert abs(float(fitted["disc_temperature"]) - t_true) < 0.3 * t_true
