@@ -177,3 +177,68 @@ def test_blackbody_swatch_red_1000k():
 
 def test_blackbody_swatch_blue_10000k():
     assert swatch(10000.0) == (137, 146, 172)
+
+
+REFERENCE_SCENE_CAMERAS = {
+    # Per-geometry facing angles (docs/examples.md; the tetrad forward axis
+    # differs per chart).
+    "Euclidean": dict(camera_position=(10.0, 0.0, 0.0)),
+    "EuclideanSpherical": dict(camera_position=(10.0, 0.0, 0.0)),  # z = -r̂, faces inward
+    "Schwarzschild": dict(camera_position=(-10.0, 0.0, -0.5), theta=-np.pi),
+    "Kerr": dict(camera_position=(-10.0, 0.0, -0.5), theta=1.52, psi=-1.57),
+    "KerrBL": dict(camera_position=(-10.0, 0.0, -0.5), theta=-np.pi),
+}
+
+
+def _reference_scenes(volumetric):
+    import glob
+
+    out = []
+    for path in sorted(glob.glob("/root/reference/scene-definitions/*.toml")):
+        cfg = cfgmod.load_config(path)
+        has_vol = any(o["kind"] == "VolumetricDisc" for o in cfg.objects)
+        if has_vol == volumetric:
+            out.append(path)
+    return out
+
+
+@pytest.mark.parametrize(
+    "path", _reference_scenes(volumetric=False), ids=lambda p: p.rsplit("/", 1)[-1]
+)
+def test_reference_scene_renders_end_to_end(path):
+    """Every non-volumetric upstream scene file renders end to end (6×6,
+    small budget) and classifies sensibly — completeness beyond the
+    parse-only check above. (Volumetric scenes carry a 50k-step marcher
+    that is too slow for CPU f64 CI; their build is pinned below and their
+    render path by test_volumetric/test_pallas.)"""
+    from gr_raytracer_tpu.rendering import raytracer as rt
+    from gr_raytracer_tpu.rendering import scene as scn
+
+    cfg = cfgmod.load_config(path)
+    opts = cfgmod.RenderOptions(
+        width=6, height=6, max_steps=400, max_radius=30.0, step_size=0.05,
+        **REFERENCE_SCENE_CAMERAS[cfg.geometry_type["kind"]],
+    )
+    scene = cfgmod.create_scene(cfg, opts)
+    out = rt.render_section(scene, chunk_size=64)
+    assert out.color.shape == (6, 6, 4)
+    assert np.isfinite(out.color).all()
+    # Every scene points the camera at the hole/sphere: rays must both
+    # escape (celestial) and terminate on something.
+    assert (out.ray_class == scn.ESCAPED).any()
+    assert (out.ray_class != scn.ESCAPED).any()
+
+
+@pytest.mark.parametrize(
+    "path", _reference_scenes(volumetric=True), ids=lambda p: p.rsplit("/", 1)[-1]
+)
+def test_all_reference_volumetric_scenes_build(path):
+    """All upstream volumetric scenes build (validation, textures, noise
+    tables, temperature LUTs)."""
+    cfg = cfgmod.load_config(path)
+    opts = cfgmod.RenderOptions(
+        width=4, height=4, max_steps=100, max_radius=30.0, step_size=0.05,
+        **REFERENCE_SCENE_CAMERAS[cfg.geometry_type["kind"]],
+    )
+    scene = cfgmod.create_scene(cfg, opts)
+    assert len(scene.objects) >= 1
