@@ -66,6 +66,17 @@ def _build_parser():
     r = sub.add_parser("render")
     r.add_argument("--filename", type=str, default="render.png")
     r.add_argument(
+        "--raw-section",
+        type=str,
+        default=None,
+        metavar="PATH.npz",
+        help="instead of an image, save the section's raw XYZA radiance + "
+        "bounds for later assembly with the `stitch` subcommand (lets a "
+        "frame be split across processes/hosts and tone-mapped GLOBALLY "
+        "after assembly — the reference's external PNG stitching "
+        "(cli/cli.rs:66-73) cannot do that)",
+    )
+    r.add_argument(
         "--checkpoint",
         nargs="?",
         const="",
@@ -101,6 +112,12 @@ def _build_parser():
     bs.add_argument("--width", type=int, default=1000)
     bs.add_argument("--height", type=int, default=1000)
     bs.add_argument("-f", "--filename", type=str, default="blackbody_spectrum.png")
+
+    st = sub.add_parser(
+        "stitch", help="assemble raw sections (render --raw-section) into one image"
+    )
+    st.add_argument("inputs", nargs="+", help="section .npz files")
+    st.add_argument("--filename", type=str, default="render.png")
     return p
 
 
@@ -259,11 +276,63 @@ def cmd_render(args, dtype):
             checkpoint_path=ckpt_path,
             checkpoint_key=ckpt_key,
         )
-    rt.write_image(args.filename, out.color, tone_mapping=args.tone_mapping)
+    if args.raw_section:
+        h, w = out.color.shape[:2]
+        from_row = args.from_row or 0
+        from_col = args.from_col or 0
+        with open(args.raw_section, "wb") as f:
+            np.savez_compressed(
+                f,
+                color=out.color,
+                ray_class=out.ray_class,
+                from_row=from_row,
+                from_col=from_col,
+                to_row=from_row + h,
+                to_col=from_col + w,
+                width=args.width,
+                height=args.height,
+            )
+        print(f"saved raw section to {args.raw_section} ({time.time() - t0:.1f}s)")
+    else:
+        rt.write_image(args.filename, out.color, tone_mapping=args.tone_mapping)
+        print(f"saved image to {args.filename} ({time.time() - t0:.1f}s)")
     if ckpt_path:
         for stage in ("pass1", "aa"):
             rt.ChunkCheckpoint(f"{ckpt_path}.{stage}.npz", "").remove()
-    print(f"saved image to {args.filename} ({time.time() - t0:.1f}s)")
+
+
+def cmd_stitch(args, dtype):
+    """Assemble raw sections into one frame and tone-map GLOBALLY. The
+    reference splits frames by stitching tone-mapped PNG crops externally
+    (cli/cli.rs:66-73); that breaks any frame-global operator (global-linear
+    max, the AA luminance percentile — configuration.rs:30-36 documents the
+    caveat). Stitching raw radiance first makes the split exact for
+    per-pixel tone maps and correct for global ones."""
+    from gr_raytracer_tpu.rendering import raytracer as rt
+
+    sections = []
+    width = height = None
+    for path in args.inputs:
+        d = np.load(path, allow_pickle=False)
+        if width is None:
+            width, height = int(d["width"]), int(d["height"])
+        elif (int(d["width"]), int(d["height"])) != (width, height):
+            raise SystemExit(f"error: {path} belongs to a different frame size")
+        sections.append(d)
+    frame = np.zeros((height, width, 4), sections[0]["color"].dtype)
+    covered = np.zeros((height, width), bool)
+    for d in sections:
+        r0, c0, r1, c1 = (int(d[k]) for k in ("from_row", "from_col", "to_row", "to_col"))
+        frame[r0:r1, c0:c1] = d["color"]
+        covered[r0:r1, c0:c1] = True
+    if not covered.all():
+        print(
+            f"warning: {int((~covered).sum())} pixels uncovered by the given "
+            "sections (left black)",
+            file=sys.stderr,
+        )
+    rt.write_image(args.filename, frame, tone_mapping=args.tone_mapping)
+    print(f"saved stitched image to {args.filename}")
 
 
 def cmd_render_ray(args, dtype):
@@ -373,6 +442,7 @@ def main(argv=None):
         "render-ray-at": cmd_render_ray_at,
         "blackbody": cmd_blackbody,
         "blackbody-spectrum": cmd_blackbody_spectrum,
+        "stitch": cmd_stitch,
     }
     dispatch[args.action](args, dtype)
     print(f"elapsed: {time.time() - t0:.2f}s", file=sys.stderr)

@@ -257,3 +257,63 @@ def test_render_profile_flag(tmp_path):
     )
     traces = list(prof.rglob("*.trace.json.gz")) + list(prof.rglob("*.xplane.pb"))
     assert traces, f"no profiler artifacts under {prof}"
+
+
+NO_AA_SCENE = SCENE + """
+[adaptive_sampling]
+enabled = false
+"""
+
+
+def test_raw_section_stitch_matches_full_render(tmp_path):
+    """Two half-frame --raw-section renders stitched equal the full render
+    bit-for-bit — including under the frame-GLOBAL global-linear tone map,
+    which the reference's external PNG-crop stitching cannot reproduce
+    (cli/cli.rs:66-73, configuration.rs:30-36 seam caveat). AA is disabled:
+    its 8-neighbor stencil needs a halo at section seams (same documented
+    seam behavior as the reference)."""
+    scene_file = tmp_path / "s.toml"
+    scene_file.write_text(NO_AA_SCENE)
+    common = [
+        "--f64",
+        "--width", "8", "--height", "8",
+        "--max-steps", "300", "--max-radius", "30", "--step-size", "0.1",
+        "--camera-position", "10,0,0",
+        "--tone-mapping", "global-linear",
+        "-c", str(scene_file),
+    ]
+    full = tmp_path / "full.png"
+    cli.main(common + ["render", "--filename", str(full)])
+
+    top = tmp_path / "top.npz"
+    bottom = tmp_path / "bottom.npz"
+    cli.main(common + ["render", "--to-row", "4", "--raw-section", str(top)])
+    cli.main(common + ["render", "--from-row", "4", "--raw-section", str(bottom)])
+
+    stitched = tmp_path / "stitched.png"
+    cli.main(common + ["stitch", str(top), str(bottom), "--filename", str(stitched)])
+
+    from PIL import Image
+
+    np.testing.assert_array_equal(
+        np.asarray(Image.open(full)), np.asarray(Image.open(stitched))
+    )
+
+
+def test_stitch_warns_on_gaps(tmp_path, capsys):
+    scene_file = tmp_path / "s.toml"
+    scene_file.write_text(NO_AA_SCENE)
+    common = [
+        "--f64",
+        "--width", "8", "--height", "8",
+        "--max-steps", "200", "--max-radius", "30", "--step-size", "0.1",
+        "--camera-position", "10,0,0",
+        "-c", str(scene_file),
+    ]
+    top = tmp_path / "top.npz"
+    cli.main(common + ["render", "--to-row", "4", "--raw-section", str(top)])
+    out = tmp_path / "partial.png"
+    cli.main(common + ["stitch", str(top), "--filename", str(out)])
+    err = capsys.readouterr().err
+    assert "32 pixels uncovered" in err
+    assert out.exists()
