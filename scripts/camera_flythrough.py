@@ -34,7 +34,14 @@ def main():
     ap.add_argument("--step-size", type=float, default=0.01)
     ap.add_argument("--max-radius", type=float, default=15000.0)
     ap.add_argument("--outdir", default="flythrough")
+    ap.add_argument("--f64", action="store_true", help="force float64 on CPU")
     args = ap.parse_args()
+
+    import jax
+
+    if args.f64:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
 
     import numpy as np
 

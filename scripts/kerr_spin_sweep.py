@@ -21,9 +21,13 @@ def main():
     ap.add_argument("--height", type=int, default=128)
     ap.add_argument("--max-steps", type=int, default=3000)
     ap.add_argument("--out", default="kerr-spin-sweep.gif")
+    ap.add_argument("--cpu", action="store_true", help="pin the CPU backend")
     args = ap.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
     from PIL import Image
