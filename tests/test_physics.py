@@ -464,3 +464,58 @@ def test_redshift_is_invariant_under_momentum_negation():
         )
 
     np.testing.assert_allclose(g_for(momentum), g_for(-momentum), rtol=1e-15)
+
+
+def test_carter_constant_conserved_along_ks_trajectory():
+    """Killing-tensor oracle BEYOND the reference's test set: the Carter
+    constant Q is conserved along a geodesic integrated ENTIRELY in the
+    Kerr-Schild Cartesian chart (generic Hamiltonian solver, no knowledge of
+    Q) — extracted post-hoc at each step by converting state and momentum to
+    Boyer-Lindquist (kerr_bl.rs:536-568 formula). Pins the KS integrator,
+    the chart conversion, AND the BL Jacobian simultaneously."""
+    from gr_raytracer_tpu.geometry import chart as charts
+    from gr_raytracer_tpu.geometry.kerr import Kerr
+    from gr_raytracer_tpu.geometry.kerr_bl import KerrBL
+    from gr_raytracer_tpu.rendering import integrator as integ
+
+    r_s, a = 1.0, 0.45
+    kerr = Kerr(radius=jnp.asarray(r_s), a=jnp.asarray(a), horizon_epsilon=jnp.asarray(1e-3))
+    kbl = KerrBL(radius=jnp.asarray(r_s), a=jnp.asarray(a), horizon_epsilon=jnp.asarray(1e-3))
+
+    # An inclined, non-equatorial ray (nonzero Q) aimed to pass near the hole.
+    x0 = jnp.asarray([[0.0, -12.0, 1.5, 2.0]])
+    sp = jnp.asarray([0.5, 0.2, 0.9])
+    g = kerr.metric(x0[0])
+    # Null-normalize the time component against the spatial direction.
+    spat = jnp.concatenate([jnp.zeros(1), sp])
+    a_t = g[0, 0]
+    b_t = 2.0 * (g[0, 1:] @ sp)
+    c_t = spat[1:] @ g[1:, 1:] @ sp
+    pt = (-b_t - jnp.sqrt(b_t * b_t - 4 * a_t * c_t)) / (2 * a_t)  # future root
+    p0 = jnp.concatenate([pt[None], sp])[None, :]
+    np.testing.assert_allclose(float(kerr.inner_product(x0[0], p0[0], p0[0])), 0.0, atol=1e-12)
+
+    solver = kerr.make_solver(x0, p0)
+    y0 = solver.initial_state(x0, p0)
+    cfg = integ.IntegrationConfig(
+        max_radius=jnp.asarray(40.0),
+        step_size=jnp.asarray(0.02),
+        epsilon=jnp.asarray(1e-10),
+        max_steps=4000,
+    )
+    ys, ts, valid, stop = integ.integrate_trajectory(kerr, solver, cfg, y0, 4000)
+    ys = np.asarray(ys)[np.asarray(valid)[:, 0], 0]
+    assert ys.shape[0] > 80
+
+    qs = []
+    for row in ys[:: max(len(ys) // 40, 1)]:
+        x_cart = jnp.asarray(row[:4])
+        p_cart = solver.momentum(jnp.asarray(row)[None, :])[0]  # contravariant
+        x_bl = charts.cartesian_to_bl(a, x_cart)
+        j = charts.jacobian_bl_to_cartesian(r_s, a, x_bl[1], x_bl[2], x_bl[3])
+        p_bl = jnp.linalg.solve(j, p_cart)
+        e, l_z, q = kbl.conserved_from_bl(x_bl, p_bl)
+        qs.append(float(q))
+    qs = np.asarray(qs)
+    assert qs[0] > 0.1  # genuinely non-equatorial
+    np.testing.assert_allclose(qs, qs[0], rtol=2e-5)
