@@ -436,7 +436,19 @@ import functools as _functools
 
 KERNEL_PHASE0 = 4096  # first-phase attempts (most lanes stop well before)
 KERNEL_PHASE_CAP = 32768  # cap on per-phase attempts (bounds compile count)
-PHASED_THRESHOLD = 2 * KERNEL_PHASE0  # budgets above this go phased
+# Budgets above this go phased — OPT-IN (GR_PHASED=1). Measured on chip
+# (r2 session 4, hero scene 500×500 @ 1e6 steps, warm cache): single
+# dispatch 47 s vs phased 64 s, bit-identical frames. The cost sort already
+# groups slow lanes into few blocks and blocks exit as soon as all their
+# lanes stop, so within-block compaction saves less than the per-round host
+# round-trips + (bucket, attempts) compiles cost, at least over a tunneled
+# chip. Phased marching remains the right primitive when block divergence
+# is genuinely high (no usable cost proxy) or host↔device latency is low.
+PHASED_THRESHOLD = (
+    2 * KERNEL_PHASE0
+    if __import__("os").environ.get("GR_PHASED", "0") == "1"
+    else (1 << 62)
+)
 
 
 def _kernel_budget(scene) -> int:

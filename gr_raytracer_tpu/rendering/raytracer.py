@@ -600,9 +600,16 @@ def trace_pixels_chunked(
     fast = not split and _use_fast_path(scene)
     # Requeue compaction pays when the budget dwarfs a phase (its savings
     # come from not holding the whole chunk for the slow tail); below that
-    # the per-phase host syncs cost more than they save.
+    # the per-phase host syncs cost more than they save. It is a LAX-path
+    # lever only: the fast path handles large budgets inside the kernel
+    # (cost-sorted blocks exit early; make_fast_tracer picks the phased
+    # kernel march when that wins). Ordering regression note: routing
+    # fast-path scenes through the lax requeue at high budgets made hero
+    # render #4 4.3x slower (959 s vs 224 s baseline, r2 session 4).
     cfg_i = scene.integration
-    requeue = (cfg_i.max_steps + cfg_i.extra_attempts) > 2 * PHASE_ATTEMPTS
+    requeue = (
+        not fast and (cfg_i.max_steps + cfg_i.extra_attempts) > 2 * PHASE_ATTEMPTS
+    )
     t_start = time.time()
 
     def _drain(chunk):
