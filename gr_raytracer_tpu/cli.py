@@ -60,6 +60,18 @@ def _build_parser():
         "the multi-chip analog of the reference's RAYON_NUM_THREADS "
         "(docs/example-render-commands.md:59-63)",
     )
+    p.add_argument(
+        "--coordinator",
+        type=str,
+        default=None,
+        metavar="HOST:PORT",
+        help="jax.distributed coordinator address: initialize this process as "
+        "one member of a multi-process run (pair with --num-processes / "
+        "--process-id; each process renders its own section, e.g. via "
+        "render --raw-section, and one host stitches)",
+    )
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
 
     sub = p.add_subparsers(dest="action", required=True)
 
@@ -435,6 +447,15 @@ def cmd_blackbody_spectrum(args, dtype):
 def main(argv=None):
     args = _build_parser().parse_args(argv)
     dtype = _setup_dtype(args)
+    if args.coordinator is not None:
+        from gr_raytracer_tpu.parallel import distributed
+
+        n, idx = distributed.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+        print(f"distributed: process {idx}/{n}", file=sys.stderr)
     t0 = time.time()
     dispatch = {
         "render": cmd_render,

@@ -83,9 +83,13 @@ def _atan(x):
 
 
 def _atan2(y, x):
-    """atan2 built from _atan. x == 0 rides on atan(±inf) = ±π/2; the x < 0
-    half-plane is shifted by ±π with the y >= 0 tie going to +π (libm)."""
-    r = _atan(y / x)
+    """atan2 built from _atan. x == 0, y != 0 rides on atan(±inf) = ±π/2;
+    the x < 0 half-plane is shifted by ±π with the y >= 0 tie going to +π
+    (libm). The origin (0, 0) returns 0 like libm — without the guard
+    0/0 = NaN would poison the UV payload of an event exactly on the axis
+    (reachable via a volumetric cap crossing at x = y = 0)."""
+    safe_x = jnp.where((x == 0.0) & (y == 0.0), 1.0, x)
+    r = _atan(y / safe_x)
     pi = jnp.asarray(jnp.pi, y.dtype)
     shift = jnp.where(y >= 0.0, pi, -pi)
     return jnp.where(x < 0.0, r + shift, r)

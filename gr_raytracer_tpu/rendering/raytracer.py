@@ -257,16 +257,22 @@ _fast_tracers: dict = {}
 
 def _trace_chunk_fast(scene, row_f, col_f, mesh=None):
     """Pallas fast path with a per-scene-identity tracer cache (the disc
-    bounds are baked static; everything else stays traced)."""
+    bounds are baked static; everything else stays traced).
+
+    Cache entries hold a strong reference to the keyed scene/mesh: while an
+    entry lives, its id() cannot be reused by a new object, so a GC'd scene
+    followed by a new scene at the same address can never silently pick up
+    the old baked kernel spec (r2 verdict weak #5). The identity check makes
+    the invariant explicit and self-healing across cache clears."""
     from gr_raytracer_tpu.rendering import fast_path
 
     key = (id(scene), id(mesh))
-    fn = _fast_tracers.get(key)
-    if fn is None:
+    entry = _fast_tracers.get(key)
+    if entry is None or entry[0] is not scene or entry[1] is not mesh:
         if len(_fast_tracers) > 8:
             _fast_tracers.clear()
-        fn = _fast_tracers[key] = fast_path.make_fast_tracer(scene, mesh=mesh)
-    return fn(scene, row_f, col_f)
+        entry = _fast_tracers[key] = (scene, mesh, fast_path.make_fast_tracer(scene, mesh=mesh))
+    return entry[2](scene, row_f, col_f)
 
 
 def _use_fast_path(scene) -> bool:
@@ -316,7 +322,6 @@ def _exit_distances(obj, ro, rd, put):
 VOLUMETRIC_LANE_CHUNK = 4096
 
 _vol_specs: dict = {}
-_vol_kernels: dict = {}
 
 
 def _vol_kernel_fn(obj, geometry):
@@ -333,19 +338,21 @@ def _vol_kernel_fn(obj, geometry):
         or not vp.supports(obj, geometry)
     ):
         return None, None
+    # Entries hold the object itself so its id() cannot be reused while
+    # cached (see _trace_chunk_fast's cache note).
     key = id(obj)
-    if key not in _vol_specs:
+    entry = _vol_specs.get(key)
+    if entry is None or entry[0] is not obj:
         if len(_vol_specs) > 8:
             _vol_specs.clear()
-            _vol_kernels.clear()
         spec = vp.build_vol_spec(obj, geometry)
-        _vol_specs[key] = spec
         # Closure (not partial-as-arg): the spec is a static Python constant
         # baked into the trace, exactly like the geodesic kernel's discs.
-        _vol_kernels[key] = jax.jit(
+        kernel = jax.jit(
             lambda ro, rd, o, pt, pp, act, ed, _s=spec: vp.raymarch(_s, ro, rd, o, pt, pp, act, ed)
         )
-    return _vol_specs[key], _vol_kernels[key]
+        entry = _vol_specs[key] = (obj, spec, kernel)
+    return entry[1], entry[2]
 
 
 def _has_volumetric(scene) -> bool:
@@ -356,17 +363,17 @@ _geo_fast_tracers: dict = {}
 
 
 def _trace_chunk_geo_fast(scene, row_f, col_f):
-    """Kernel-backed geometric pass (per-scene-identity tracer cache, like
-    _trace_chunk_fast)."""
+    """Kernel-backed geometric pass (per-scene-identity tracer cache with
+    the same liveness guarantee as _trace_chunk_fast)."""
     from gr_raytracer_tpu.rendering import fast_path
 
     key = id(scene)
-    fn = _geo_fast_tracers.get(key)
-    if fn is None:
+    entry = _geo_fast_tracers.get(key)
+    if entry is None or entry[0] is not scene:
         if len(_geo_fast_tracers) > 8:
             _geo_fast_tracers.clear()
-        fn = _geo_fast_tracers[key] = fast_path.make_fast_geo_tracer(scene)
-    return fn(scene, row_f, col_f)
+        entry = _geo_fast_tracers[key] = (scene, fast_path.make_fast_geo_tracer(scene))
+    return entry[1](scene, row_f, col_f)
 
 
 def _trace_chunk_split(scene, rf, cf, vol_chunk: int = VOLUMETRIC_LANE_CHUNK, put=jnp.asarray):

@@ -60,12 +60,33 @@ def make_atlas(path, seed, warm=False):
     print(f"wrote {path}")
 
 
+# 1×1 solid swatches shipped alongside the atlases (the reference's release
+# bundle carries the same set; scene files can point any Bitmap texture at
+# them for flat-color surfaces).
+SOLIDS = {
+    "black.png": (0, 0, 0, 255),
+    "white.png": (255, 255, 255, 255),
+    "cyan.png": (71, 252, 254, 255),
+    "dark_blue.png": (0, 0, 31, 255),
+    "orange.png": (255, 100, 0, 255),
+    "orange_transparent.png": (238, 171, 53, 178),
+}
+
+
+def make_solid(path, rgba):
+    mode = "RGBA" if rgba[3] != 255 else "RGB"
+    Image.new(mode, (1, 1), rgba if mode == "RGBA" else rgba[:3]).save(path)
+    print(f"wrote {path}")
+
+
 def main():
     outdir = sys.argv[1] if len(sys.argv) > 1 else "resources"
     os.makedirs(outdir, exist_ok=True)
     make_atlas(os.path.join(outdir, "celestial.png"), seed=1)
     make_atlas(os.path.join(outdir, "sphere.png"), seed=2)
     make_atlas(os.path.join(outdir, "disk.png"), seed=3, warm=True)
+    for name, rgba in SOLIDS.items():
+        make_solid(os.path.join(outdir, name), rgba)
 
 
 if __name__ == "__main__":

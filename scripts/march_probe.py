@@ -26,7 +26,7 @@ def main():
     ap.add_argument("--col-stride", type=int, default=16)
     ap.add_argument("--max-steps", type=int, default=100000)
     ap.add_argument("--repeats", type=int, default=2)
-    ap.add_argument("--scene", default="/root/reference/scene-definitions/kerr.toml")
+    ap.add_argument("--scene", default=None)
     args = ap.parse_args()
 
     import jax
@@ -41,7 +41,8 @@ def main():
     from gr_raytracer_tpu.rendering import camera as cam
     from gr_raytracer_tpu.rendering import fast_path
 
-    cfg = cfgmod.load_config(args.scene)
+    from gr_raytracer_tpu.utils import assets as _assets
+    cfg = cfgmod.load_config(args.scene or _assets.scene_path("kerr.toml"))
     opts = cfgmod.RenderOptions(
         width=args.size,
         height=args.size,

@@ -18,13 +18,13 @@ timeout 3600 python bench.py 2>"$LOG/bench.err" | tee "$LOG/bench.json"
 echo "== hero #4 (kerr 1000x1000 @ 1e6 steps) =="
 timeout 3600 python -m gr_raytracer_tpu --width=1000 --height=1000 \
   --max-steps=1000000 --camera-position=-10,0,-0.5 --theta=1.52 \
-  --psi=-1.57 --phi=0 -c /root/reference/scene-definitions/kerr.toml \
+  --psi=-1.57 --phi=0 -c scene-definitions/kerr.toml \
   render --filename "$LOG/render-kerr-1000.png" --checkpoint 2>&1 | tail -3 | tee "$LOG/hero4.log"
 
 echo "== profiled 256^2 flagship (Perfetto trace for roofline analysis) =="
 timeout 1800 python -m gr_raytracer_tpu --width=256 --height=256 \
   --max-steps=2000 --camera-position=-10,0,-0.5 --theta=1.52 --psi=-1.57 \
-  -c /root/reference/scene-definitions/kerr.toml --profile "$LOG/trace" \
+  -c scene-definitions/kerr.toml --profile "$LOG/trace" \
   render --filename "$LOG/render-kerr-256.png" 2>&1 | tail -2
 
 echo "== lane-tile sweep =="

@@ -22,12 +22,13 @@ import numpy as np
 
 from gr_raytracer_tpu import config as cfgmod
 from gr_raytracer_tpu.rendering import raytracer as rt
+from gr_raytracer_tpu.utils import assets
 
 SIZE = int(sys.argv[1]) if len(sys.argv) > 1 else 128
 TOML = (
     sys.argv[2]
     if len(sys.argv) > 2
-    else "/root/reference/scene-definitions/kerr-volumetric-streaky.toml"
+    else assets.scene_path("kerr-volumetric-streaky.toml")
 )
 
 cfg = cfgmod.load_config(TOML)

@@ -23,7 +23,9 @@ from gr_raytracer_tpu.rendering import raytracer as rt
 
 SIZE = int(sys.argv[1]) if len(sys.argv) > 1 else 128
 
-cfg = cfgmod.load_config("/root/reference/scene-definitions/kerr-volumetric-streaky.toml")
+from gr_raytracer_tpu.utils import assets
+
+cfg = cfgmod.load_config(assets.scene_path("kerr-volumetric-streaky.toml"))
 opts = cfgmod.RenderOptions(
     width=SIZE,
     height=SIZE,

@@ -17,7 +17,12 @@ from gr_raytracer_tpu.rendering import scene as scn
 from gr_raytracer_tpu.rendering.blackbody import blackbody_xyz
 from gr_raytracer_tpu.rendering.color import xyz_to_srgb8
 
-REFERENCE_SCENES = sorted(glob.glob("/root/reference/scene-definitions/*.toml"))
+from gr_raytracer_tpu.utils import assets
+
+REFERENCE_SCENES = sorted(glob.glob(assets.scene_definitions_dir() + "/*.toml"))
+# A missing asset directory would silently collapse the parametrized suites
+# to zero tests — fail loudly instead (the repo vendors 14 scenes).
+assert len(REFERENCE_SCENES) >= 14, f"scene assets missing: {assets.scene_definitions_dir()}"
 
 CHECKER_SCENE = """
 celestial_temperature = 0.0
@@ -191,10 +196,8 @@ REFERENCE_SCENE_CAMERAS = {
 
 
 def _reference_scenes(volumetric):
-    import glob
-
     out = []
-    for path in sorted(glob.glob("/root/reference/scene-definitions/*.toml")):
+    for path in REFERENCE_SCENES:
         cfg = cfgmod.load_config(path)
         has_vol = any(o["kind"] == "VolumetricDisc" for o in cfg.objects)
         if has_vol == volumetric:

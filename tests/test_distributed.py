@@ -79,3 +79,112 @@ def test_dump_camera_rays(tmp_path):
     # Null condition holds for every dumped ray.
     kk = np.array([float(l.split(",")[-1]) for l in lines[1:]])
     assert np.abs(kk).max() < 1e-10
+
+
+def test_multi_process_distributed_render(tmp_path):
+    """The >1-process branch of distributed.initialize, actually executed:
+    two OS processes initialize jax.distributed against a real coordinator,
+    each renders a disjoint row section of the same scene through the CLI's
+    --raw-section path, and the stitch equals the single-process frame
+    bit-for-bit (SURVEY §2.5 multi-host row; r2 verdict item 5). AA is off:
+    the per-section AA stencil has the documented 1-px seam (raytracer.rs:
+    413-421), so only the AA-free path can promise bitwise equality."""
+    import os
+    import socket
+    import subprocess
+    import sys as _sys
+
+    scene_toml = tmp_path / "scene.toml"
+    scene_toml.write_text(
+        """
+celestial_temperature = 0.0
+
+[geometry_type.Schwarzschild]
+radius = 1.0
+horizon_epsilon = 1e-4
+
+[celestial_texture.Checker]
+beaming_exponent = 0.0
+width = 10.0
+height = 10.0
+color1 = [0, 255, 0]
+color2 = [0, 100, 0]
+
+[adaptive_sampling]
+enabled = false
+
+[[objects]]
+[objects.Disc]
+inner_radius = 3.0
+outer_radius = 5.0
+temperature = 2000.0
+[objects.Disc.texture.BlackBody]
+beaming_exponent = 0.0
+"""
+    )
+    env = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": "/root/repo"}
+    env.pop("XLA_FLAGS", None)
+    base = [
+        _sys.executable, "-m", "gr_raytracer_tpu",
+        "--f64", "--width", "8", "--height", "8",
+        "--max-steps", "400", "--max-radius", "30.0", "--step-size", "0.05",
+        "--camera-position=-10.0,0.0,-0.5", "--theta=-3.141592653589793",
+        "-c", str(scene_toml),
+    ]
+    run_kw = dict(env=env, cwd=str(tmp_path), timeout=600, capture_output=True, text=True)
+
+    full = subprocess.run(
+        base + ["render", "--raw-section", str(tmp_path / "full.npz")], **run_kw
+    )
+    assert full.returncode == 0, full.stderr[-2000:]
+
+    sock = socket.socket()
+    sock.bind(("localhost", 0))
+    port = sock.getsockname()[1]
+    sock.close()
+    procs = []
+    for pid in range(2):
+        cmd = base + [
+            "--coordinator", f"localhost:{port}",
+            "--num-processes", "2", "--process-id", str(pid),
+            "render",
+            "--from-row", str(4 * pid), "--to-row", str(4 * pid + 4),
+            "--raw-section", str(tmp_path / f"sec{pid}.npz"),
+        ]
+        procs.append(
+            subprocess.Popen(
+                cmd, env=env, cwd=str(tmp_path),
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            )
+        )
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        outs.append((p.returncode, out, err))
+    assert all(rc == 0 for rc, _, _ in outs), outs
+    # Both processes really ran the multi-process init path.
+    assert "distributed: process 0/2" in outs[0][2]
+    assert "distributed: process 1/2" in outs[1][2]
+
+    ref = np.load(tmp_path / "full.npz")
+    s0 = np.load(tmp_path / "sec0.npz")
+    s1 = np.load(tmp_path / "sec1.npz")
+    stitched = np.concatenate([s0["color"], s1["color"]], axis=0)
+    np.testing.assert_array_equal(stitched, ref["color"])
+    np.testing.assert_array_equal(
+        np.concatenate([s0["ray_class"], s1["ray_class"]], axis=0), ref["ray_class"]
+    )
+
+    # The stitch subcommand assembles the sections into the same PNG bytes
+    # as the single-process frame.
+    st = subprocess.run(
+        base + ["stitch", str(tmp_path / "sec0.npz"), str(tmp_path / "sec1.npz"),
+                "--filename", str(tmp_path / "stitched.png")], **run_kw
+    )
+    assert st.returncode == 0, st.stderr[-2000:]
+    st_ref = subprocess.run(
+        base + ["stitch", str(tmp_path / "full.npz"),
+                "--filename", str(tmp_path / "ref.png")], **run_kw
+    )
+    assert st_ref.returncode == 0, st_ref.stderr[-2000:]
+    assert (tmp_path / "stitched.png").read_bytes() == (tmp_path / "ref.png").read_bytes()

@@ -84,7 +84,10 @@ def test_png_decode_matches_pil_and_roundtrip(tmp_path):
 
     if not native.available():
         pytest.skip("native toolchain unavailable")
-    paths = sorted(glob.glob("/root/reference/resources/*.png"))
+    from gr_raytracer_tpu.utils import assets
+
+    paths = sorted(glob.glob(assets.resources_dir() + "/*.png"))
+    assert len(paths) >= 9, f"resource assets missing: {assets.resources_dir()}"
     for path in paths[:4]:  # keep the big 2048x2048 scans bounded
         with open(path, "rb") as f:
             data = f.read()

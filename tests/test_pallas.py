@@ -717,3 +717,17 @@ def test_analytic_rhs_matches_autodiff():
         ref = np.asarray(gp._rhs_autodiff(1.0, a, y))
         got = np.asarray(gp._rhs(1.0, a, y))
         np.testing.assert_allclose(got, ref, rtol=1e-10, atol=1e-12)
+
+
+def test_kernel_atan2_matches_numpy_including_origin():
+    """The kernel's primitive atan2 must match libm on every quadrant, the
+    axes, AND the origin: an event exactly on the axis (e.g. a volumetric cap
+    crossing at x = y = 0) must produce a defined UV, not NaN (r2 verdict
+    weak #8)."""
+    vals = jnp.asarray([-2.0, -1.0, -0.5, 0.0, 0.5, 1.0, 2.0])
+    yy, xx = jnp.meshgrid(vals, vals, indexing="ij")
+    got = np.asarray(gp._atan2(yy, xx))
+    want = np.arctan2(np.asarray(yy), np.asarray(xx))
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, want, atol=5e-7)
+    assert float(gp._atan2(jnp.asarray(0.0), jnp.asarray(0.0))) == 0.0

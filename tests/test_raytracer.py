@@ -429,3 +429,70 @@ def test_checkpoint_complete_skips_all_tracing(tmp_path, monkeypatch):
     np.testing.assert_array_equal(c2, c1)
     np.testing.assert_array_equal(k2, k1)
     np.testing.assert_array_equal(ok2, ok1)
+
+
+def test_fast_tracer_caches_cannot_alias_recycled_ids():
+    """The per-identity tracer caches bake static disc bounds; an id()-keyed
+    entry must never survive its scene (a GC'd scene followed by a new scene
+    at the same address would silently reuse the wrong kernel spec —
+    r2 verdict weak #5). The fix: entries hold the keyed object (so its id
+    cannot be recycled while cached) and verify identity on hit."""
+    import gc
+
+    from gr_raytracer_tpu.rendering import fast_path as fp
+    from gr_raytracer_tpu.rendering import raytracer as rt
+
+    built = []
+
+    def fake_builder(scene, mesh=None):
+        built.append(scene)
+        return lambda s, rf, cf: ("sentinel", id(scene))
+
+    real = fp.make_fast_tracer
+    fp.make_fast_tracer = fake_builder
+    try:
+        rt._fast_tracers.clear()
+        scene_a = object()
+        out_a = rt._trace_chunk_fast(scene_a, None, None)
+        assert out_a == ("sentinel", id(scene_a))
+        # The cache must hold the scene alive: while cached, no new object
+        # can be allocated at scene_a's address.
+        key = (id(scene_a), id(None))
+        assert rt._fast_tracers[key][0] is scene_a
+
+        # Simulate an id collision (the GC-reuse scenario): poison the cache
+        # with an entry recorded under scene_b's id but built from scene_a.
+        scene_b = object()
+        rt._fast_tracers[(id(scene_b), id(None))] = (
+            scene_a,
+            None,
+            lambda s, rf, cf: ("stale", id(scene_a)),
+        )
+        out_b = rt._trace_chunk_fast(scene_b, None, None)
+        # Identity check must reject the stale entry and rebuild for scene_b.
+        assert out_b == ("sentinel", id(scene_b))
+        assert rt._fast_tracers[(id(scene_b), id(None))][0] is scene_b
+        assert len(built) == 2
+    finally:
+        fp.make_fast_tracer = real
+        rt._fast_tracers.clear()
+        gc.collect()
+
+
+def test_geo_fast_tracer_cache_identity_checked():
+    from gr_raytracer_tpu.rendering import fast_path as fp
+    from gr_raytracer_tpu.rendering import raytracer as rt
+
+    real = fp.make_fast_geo_tracer
+    fp.make_fast_geo_tracer = lambda scene: (lambda s, rf, cf: id(scene))
+    try:
+        rt._geo_fast_tracers.clear()
+        scene_a = object()
+        assert rt._trace_chunk_geo_fast(scene_a, None, None) == id(scene_a)
+        scene_b = object()
+        rt._geo_fast_tracers[id(scene_b)] = (scene_a, lambda s, rf, cf: "stale")
+        assert rt._trace_chunk_geo_fast(scene_b, None, None) == id(scene_b)
+        assert rt._geo_fast_tracers[id(scene_b)][0] is scene_b
+    finally:
+        fp.make_fast_geo_tracer = real
+        rt._geo_fast_tracers.clear()

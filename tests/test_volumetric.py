@@ -293,9 +293,9 @@ def test_volumetric_config_validation():
 
 
 def test_reference_volumetric_scene_builds():
-    cfg = cfgmod.load_config(
-        "/root/reference/scene-definitions/schwarzschild-volumetric-streaky.toml"
-    )
+    from gr_raytracer_tpu.utils import assets
+
+    cfg = cfgmod.load_config(assets.scene_path("schwarzschild-volumetric-streaky.toml"))
     opts = cfgmod.RenderOptions(width=3, height=3, camera_position=(-18.0, 0.0, -1.0))
     scene = cfgmod.create_scene(cfg, opts)
     assert any(hasattr(o, "raymarch") for o in scene.objects)
