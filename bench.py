@@ -176,12 +176,54 @@ def measure():
             "flops_per_s": round(flops_per_s, 1),
             "vpu_peak_f32": VPU_PEAK_F32,
             "vpu_utilization": round(flops_per_s / VPU_PEAK_F32, 4),
+            "note": (
+                "steps/s here divides useful ray-steps by the WHOLE frame "
+                "time, which on the tunneled chip is ~90% dispatch latency + "
+                "host transfer (scripts/bench_decomp.py); see hero_march for "
+                "the march-dominated rate and BASELINE.md for the roofline"
+            ),
         }
         print(f"[bench] mfu={mfu}", file=sys.stderr)
     except Exception as e:
         print(f"[bench] mfu accounting failed: {e}", file=sys.stderr)
 
-    return rays_per_s, backend, compile_s, mfu
+    # --- hero-budget stanza (r2 verdict weak #6): the 1e5-step regime where
+    # the march dominates the frame (cost sort, far-field acceleration and
+    # opaque-stop actually working), not the tunnel.
+    hero = None
+    try:
+        if backend != "tpu":
+            raise RuntimeError("skipped off-TPU")
+        hero_scene = scene.replace(
+            integration=scene.integration.replace(max_steps=100_000)
+        )
+        spec = fast_path.scene_kernel_spec(hero_scene)
+
+        @jax.jit
+        def hero_trace(rf_, cf_):
+            x_, p_ = cam.pixel_rays(hero_scene.camera, rf_, cf_)
+            s_ = fast_path.trace_rays_fast(hero_scene, x_, p_, spec=spec)
+            return s_.steps, s_.color
+
+        hrf, hcf = jnp.asarray(rf), jnp.asarray(cf)
+        steps_h, _ = jax.device_get(hero_trace(hrf, hcf))
+        hero_steps = int(np.asarray(steps_h, np.int64).sum())
+        hbest = np.inf
+        for i in range(2):
+            t0 = time.perf_counter()
+            jax.device_get(hero_trace(hrf + 1e-4 * (i + 1), hcf))
+            hbest = min(hbest, time.perf_counter() - t0)
+        hero = {
+            "workload": f"{ROWS}x{COLS} flagship @ 100k-step budget",
+            "frame_s": round(hbest, 4),
+            "useful_ray_steps": hero_steps,
+            "useful_steps_per_s": round(hero_steps / hbest, 1),
+        }
+        print(f"[bench] hero_march={hero}", file=sys.stderr)
+    except Exception as e:
+        print(f"[bench] hero stanza failed: {e}", file=sys.stderr)
+
+    return rays_per_s, backend, compile_s, mfu, hero
 
 
 def warm():
@@ -220,7 +262,22 @@ def load_baseline(backend):
     return None
 
 
-def emit(rays_per_s, backend, attempts=None, compile_s=None, mfu=None):
+def load_gradient_block():
+    """The committed production-scale gradient measurement
+    (scripts/grad_scale_probe.py → docs/gradient_bench.json): one
+    value_and_grad step at 128² @ 20k budget + the 128² inverse spin fit,
+    both run on the chip. Embedded with provenance rather than re-measured:
+    a 128²@20k reverse pass would blow this child's measure timeout."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "docs", "gradient_bench.json")
+    try:
+        rec = json.load(open(path))
+        rec["source"] = "docs/gradient_bench.json (scripts/grad_scale_probe.py)"
+        return rec
+    except Exception:
+        return None
+
+
+def emit(rays_per_s, backend, attempts=None, compile_s=None, mfu=None, hero=None):
     baseline = load_baseline(backend)
     vs_baseline = rays_per_s / baseline if baseline else 1.0
     rec = {
@@ -234,6 +291,11 @@ def emit(rays_per_s, backend, attempts=None, compile_s=None, mfu=None):
         rec["compile_s"] = round(compile_s, 1)
     if mfu is not None:
         rec["mfu"] = mfu
+    if hero is not None:
+        rec["hero_march"] = hero
+    gradient = load_gradient_block()
+    if gradient is not None:
+        rec["gradient"] = gradient
     if attempts is not None:
         rec["attempts"] = attempts
     print(json.dumps(rec))
@@ -268,8 +330,8 @@ def main():
         warm()
         return
     if "--worker" in sys.argv:
-        rays_per_s, backend, compile_s, mfu = measure()
-        emit(rays_per_s, backend, compile_s=compile_s, mfu=mfu)
+        rays_per_s, backend, compile_s, mfu, hero = measure()
+        emit(rays_per_s, backend, compile_s=compile_s, mfu=mfu, hero=hero)
         return
 
     attempts = []

@@ -95,6 +95,16 @@ def _atan2(y, x):
     return jnp.where(x < 0.0, r + shift, r)
 
 
+def _ks_radius(a, x, y, z):
+    """Kerr-Schild r alone (the step rule and the horizon test need nothing
+    else; the march carries it between iterations so the radius is computed
+    ONCE per step instead of twice)."""
+    rho_sq = x * x + y * y + z * z
+    d = rho_sq - a * a
+    s = jnp.sqrt(d * d + 4.0 * a * a * z * z)
+    return jnp.sqrt(0.5 * (d + s))
+
+
 def _ks_scalars(radius, a, x, y, z):
     """f and k (covariant) for Kerr-Schild, componentwise over [T] lanes."""
     rho_sq = x * x + y * y + z * z
@@ -156,24 +166,32 @@ def _rhs(radius, a, y):
     — where the reference uses finite differences), but the Kerr-Schild
     derivative chain written out: 137 flops/eval vs 251 through jax.grad
     (XLA cost analysis) — a 25% cut of the whole RK4 step, the kernel's
-    dominant cost. Agreement with _rhs_autodiff: ≤5e-13 relative in f64."""
+    dominant cost. Agreement with _rhs_autodiff: ≤7e-13 relative in f64.
+
+    Transcendental budget (the VPU's multi-pass ops): rsqrt forms give s and
+    1/s (and r and 1/r) from ONE rsqrt + a multiply, and the two remaining
+    reciprocals share one divide via 1/(D·denom) — 2 rsqrt + 1 div per eval
+    instead of the naive 2 sqrt + 4 div (measured on the pure-ALU march
+    probe, scripts/alu_ceiling_probe.py)."""
     x, yy, z = y[1], y[2], y[3]
     p = y[4:8]
     a2 = a * a
     rho_sq = x * x + yy * yy + z * z
     d = rho_sq - a2
-    s = jnp.sqrt(d * d + 4.0 * a2 * z * z)
+    dd4 = d * d + 4.0 * a2 * z * z
+    inv_s = jax.lax.rsqrt(dd4)
+    s = dd4 * inv_s
     r_sq = 0.5 * (d + s)
-    r = jnp.sqrt(r_sq)
-    inv_s = 1.0 / s
+    inv_r = jax.lax.rsqrt(r_sq)
+    r = r_sq * inv_r
     D = r_sq * r_sq + a2 * z * z
-    inv_D = 1.0 / D
-    f = radius * r * r_sq * inv_D
     denom = r_sq + a2
-    inv_denom = 1.0 / denom
+    inv_Dd = 1.0 / (D * denom)
+    inv_D = inv_Dd * denom
+    inv_denom = inv_Dd * D
+    f = radius * r * r_sq * inv_D
     kx = (r * x + a * yy) * inv_denom
     ky = (r * yy - a * x) * inv_denom
-    inv_r = 1.0 / r
     kz = z * inv_r
 
     k_dot_p = -p[0] + kx * p[1] + ky * p[2] + kz * p[3]
@@ -502,19 +520,20 @@ def _march_kernel(
     # cost sort compose with true compaction at 1e6-step budgets.
     carry0 = (
         y0,
+        _ks_radius(a, y0[1], y0[2], y0[3]),
         meta_in_ref[:, :, :],
         ev_in_ref[:, :, :],
         jnp.zeros((), jnp.int32),  # iteration within THIS phase
     )
 
     def cond(c):
-        _, meta, _, it = c
+        _, _, meta, _, it = c
         return jnp.logical_and(
             jnp.any(meta[META_STOP] == integ.RUNNING), it < attempts
         )
 
     def body(c):
-        y, meta, ev_data, it = c
+        y, r_here, meta, ev_data, it = c
         stop = meta[META_STOP]
         steps = meta[META_STEPS]
         ev_count = meta[META_COUNT]
@@ -522,10 +541,11 @@ def _march_kernel(
         ev_ovf = meta[META_OVF]
         active = stop == integ.RUNNING
 
-        _, _, _, _, r_here = _ks_scalars(radius, a, y[1], y[2], y[3])
         # Distance-above-horizon scaling: photon-ring orbits (r ~ r₊) need a
         # much finer step than the r/r_ref rule gives; far-field rays stay at
-        # the h0 cap (the H_MAX rationale, runge_kutta.rs:61-76).
+        # the h0 cap (the H_MAX rationale, runge_kutta.rs:61-76). r_here is
+        # carried from the previous iteration's stop check (one radius
+        # evaluation per step, not two).
         h = h0 * jnp.clip((r_here - r_plus) / r_ref_scale, h_min_frac, 1.0)
 
         k1 = _rhs(radius, a, y)
@@ -570,7 +590,7 @@ def _march_kernel(
             & jnp.isfinite(y_new[6])
             & jnp.isfinite(y_new[7])
         )
-        _, _, _, _, r_new = _ks_scalars(radius, a, y_new[1], y_new[2], y_new[3])
+        r_new = _ks_radius(a, y_new[1], y_new[2], y_new[3])
         horizon = r_new <= r_plus + horizon_eps
         rho_sq = y_new[1] ** 2 + y_new[2] ** 2 + y_new[3] ** 2
         escaped = rho_sq > max_radius_sq
@@ -690,9 +710,12 @@ def _march_kernel(
             ],
             axis=0,
         )
-        return (y_new, meta_new, ev_data, it + 1)
+        # Frozen lanes keep their carried radius consistent with their
+        # (unchanged) state.
+        r_carry = jnp.where(active, r_new, r_here)
+        return (y_new, r_carry, meta_new, ev_data, it + 1)
 
-    y_f, meta_f, ev_data_f, _ = jax.lax.while_loop(cond, body, carry0)
+    y_f, _, meta_f, ev_data_f, _ = jax.lax.while_loop(cond, body, carry0)
     if finalize:
         stop_f = jnp.where(
             meta_f[META_STOP] == integ.RUNNING, integ.BUDGET, meta_f[META_STOP]
@@ -854,18 +877,29 @@ def kerr_rk4_march(
 def _bl_rhs(r_s, a, e, l_z, q, y):
     """Mino-time RHS for y = (t, r, θ, φ, v_r, v_θ, 0, 0) as [8, T];
     (e, l_z, q) are per-lane conserved scalars [T]. ~20 flops/lane
-    (kerr_bl.rs:140-174)."""
+    (kerr_bl.rs:140-174).
+
+    The three reciprocals (1/Δ, 1/sin²θ, 1/sin³θ) share ONE divide via
+    1/(Δ·sin²θ): 1/Δ = inv·sin², 1/sin² = inv·Δ, 1/sin³ = sinθ·(1/sin²)².
+    Semantics at the pole are unchanged — sin θ = 0 exactly yields a
+    non-finite RHS either way, the documented NaN-as-classification stop
+    (kerr_bl.rs:156-163); the product Δ·sin²θ cannot underflow for any f32
+    θ distinct from the pole (|sin θ| ≥ ulp(π) ≈ 6e-8 there)."""
     r, theta = y[1], y[2]
     delta = r * r - r_s * r + a * a
     p_r = (r * r + a * a) * e - a * l_z
     st = jnp.sin(theta)
     ct = jnp.cos(theta)
     sin2 = st * st
-    dt = (r * r + a * a) / delta * p_r + a * (l_z - a * e * sin2)
-    dphi = a / delta * p_r + l_z / sin2 - a * e
+    inv_ds = 1.0 / (delta * sin2)
+    inv_delta = inv_ds * sin2
+    inv_sin2 = inv_ds * delta
+    dt = (r * r + a * a) * inv_delta * p_r + a * (l_z - a * e * sin2)
+    dphi = a * inv_delta * p_r + l_z * inv_sin2 - a * e
     carter_term = (l_z - a * e) ** 2 + q
     dv_r = 0.5 * (4.0 * r * e * p_r - (2.0 * r - r_s) * carter_term)
-    dv_theta = 0.5 * (-2.0 * a * a * e * e * ct * st + 2.0 * l_z * l_z * ct / (st * st * st))
+    inv_st3 = st * inv_sin2 * inv_sin2
+    dv_theta = 0.5 * (-2.0 * a * a * e * e * ct * st + 2.0 * l_z * l_z * ct * inv_st3)
     zero = jnp.zeros_like(dt)
     return jnp.stack([dt, y[4], y[5], dphi, dv_r, dv_theta, zero, zero], axis=0)
 

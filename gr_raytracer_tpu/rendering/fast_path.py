@@ -161,6 +161,8 @@ def make_fast_tracer(concrete_scene, mesh=None):
         raise ValueError("scene shape unsupported by the pallas fast path")
     spec = scene_kernel_spec(concrete_scene)
 
+    from gr_raytracer_tpu.rendering.raytracer import _wire
+
     if _kernel_budget(concrete_scene) > PHASED_THRESHOLD:
         # Large budgets: phased march with active-lane compaction (an eager
         # host loop around jitted pieces — see march_phased). With a mesh the
@@ -170,7 +172,7 @@ def make_fast_tracer(concrete_scene, mesh=None):
 
             def phased_mesh(scene, row_f, col_f):
                 s = march_phased_mesh(scene, row_f, col_f, spec, mesh)
-                return s.color, s.ray_class, s.stop_code, s.ev_overflow
+                return _wire(s.color, s.ray_class, s.stop_code, s.ev_overflow)
 
             return phased_mesh
 
@@ -179,14 +181,14 @@ def make_fast_tracer(concrete_scene, mesh=None):
         def phased(scene, row_f, col_f):
             x, p = rays_jit(scene.camera, row_f, col_f)
             s = trace_rays_fast_phased(scene, x, p, spec)
-            return s.color, s.ray_class, s.stop_code, s.ev_overflow
+            return _wire(s.color, s.ray_class, s.stop_code, s.ev_overflow)
 
         return phased
 
     def body(scene, row_f, col_f):
         x, p = cam.pixel_rays(scene.camera, row_f, col_f)
         s = trace_rays_fast(scene, x, p, spec=spec)
-        return s.color, s.ray_class, s.stop_code, s.ev_overflow
+        return _wire(s.color, s.ray_class, s.stop_code, s.ev_overflow)
 
     if mesh is not None:
         from jax.sharding import PartitionSpec as P
@@ -360,8 +362,17 @@ def _march_scene(scene, positions, momenta, interpret: bool = False, spec=None):
     return _state_to_result(state), freq, solver, inverse, n
 
 
-def _finish_samples(scene, res, freq, solver, inverse, n):
-    """Shade + fold a marched IntegrationResult into RaySamples (unsorted)."""
+def _finish_samples(scene, res, freq, solver, inverse, n, first_event_only=False):
+    """Shade + fold a marched IntegrationResult into RaySamples (unsorted).
+
+    first_event_only (set when every object texture is statically opaque,
+    spec.opaque): the first recorded event saturates the alpha fold, so
+    slots 1..K-1 are invisible by construction — shading them is pure waste
+    (the [N, K] LUT/texture gathers cost ~4x the march itself on the
+    flagship bench, scripts/bench_decomp.py). Exact by the same argument as
+    the kernel's opaque-stop lever."""
+    if first_event_only:
+        res = res._replace(ev_kind=res.ev_kind[:, :1], ev_data=res.ev_data[:, :1, :])
     colors, shade_fail = scn._shade_events(scene, freq, res)
     stop_shaded = jnp.where(shade_fail, integ.STEP_FAILED, res.stop_code)
     celestial = scn._celestial_color(scene, freq, solver, res)
@@ -405,8 +416,12 @@ def trace_rays_fast(scene, positions, momenta, interpret: bool = False, spec=Non
     The kernel configuration (disc bounds, far-field radius, opacity) must be
     STATIC; when called with a traced scene (under jit), precompute it from
     the concrete scene and pass `spec` (see make_fast_tracer)."""
+    if spec is None and supports_scene(scene):
+        spec = scene_kernel_spec(scene)
     res, freq, solver, inverse, n = _march_scene(scene, positions, momenta, interpret, spec)
-    return _finish_samples(scene, res, freq, solver, inverse, n)
+    return _finish_samples(
+        scene, res, freq, solver, inverse, n, first_event_only=bool(spec and spec.opaque)
+    )
 
 
 def trace_geometric_fast(scene, positions, momenta, interpret: bool = False, spec=None):
@@ -502,14 +517,16 @@ def _scatter_phase(state, sub, idx):
     return jax.tree.map(lambda a, b: a.at[idx].set(b), state, sub)
 
 
-@_functools.partial(jax.jit, static_argnames=("geo_only", "n"))
-def _phase_finish_jit(scene, state, freq, solver, inverse, geo_only, n):
+@_functools.partial(jax.jit, static_argnames=("geo_only", "n", "first_event_only"))
+def _phase_finish_jit(scene, state, freq, solver, inverse, geo_only, n, first_event_only=False):
     y_f, stop, steps, ev_kind, ev_data, ev_count, ev_overflow = state
     stop = jnp.where(stop == integ.RUNNING, integ.BUDGET, stop)
     res = _state_to_result((y_f, stop, steps, ev_kind, ev_data, ev_count, ev_overflow))
     if geo_only:
         return _finish_geo(scene, res, freq, solver, inverse, n)
-    return _finish_samples(scene, res, freq, solver, inverse, n)
+    return _finish_samples(
+        scene, res, freq, solver, inverse, n, first_event_only=first_event_only
+    )
 
 
 class _PhasedRun:
@@ -585,6 +602,7 @@ class _PhasedRun:
             self.inverse,
             geo_only=self.geo_only,
             n=self.n,
+            first_event_only=bool(self.spec.opaque) and not self.geo_only,
         )
 
 

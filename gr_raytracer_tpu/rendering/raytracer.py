@@ -120,11 +120,35 @@ def collect_supersample_mask(cfg, luminance, alpha, ray_class, minimum_luminance
 # ---------------------------------------------------------------------------
 
 
+def _wire(color, klass, stop, ovf):
+    """Compact the per-ray outputs for the host transfer: every code fits
+    uint8, and the fold's output alpha is IDENTICALLY 1 (fold_samples
+    blends over an alpha-1 base, exactly like the reference's
+    CIETristimulus::new(0,0,0,1) seed, scene.rs:206-214), so only the XYZ
+    channels cross the wire and _drain re-appends the constant. The
+    tunneled runtime moves ~40 MB/s (scripts/bench_decomp.py) — int32
+    classes + the alpha column were ~55% of a frame's transfer bytes."""
+    return (
+        color[..., :3],
+        klass.astype(jnp.uint8),
+        stop.astype(jnp.uint8),
+        ovf.astype(jnp.uint8),
+    )
+
+
+def _unwire(c: np.ndarray) -> np.ndarray:
+    """Restore the constant alpha column dropped by _wire (no-op for the
+    host-side split path, which never narrows)."""
+    if c.shape[-1] == 3:
+        c = np.concatenate([c, np.ones_like(c[..., :1])], axis=-1)
+    return c
+
+
 @jax.jit
 def _trace_chunk(scene, row_f, col_f):
     x, p = cam.pixel_rays(scene.camera, row_f, col_f)
     s = scn.trace_rays(scene, x, p)
-    return s.color, s.ray_class, s.stop_code, s.ev_overflow
+    return _wire(s.color, s.ray_class, s.stop_code, s.ev_overflow)
 
 
 # ---------------------------------------------------------------------------
@@ -189,7 +213,7 @@ def _phase_finish(scene, solver, freq, res):
     stop = jnp.where(shade_fail, scn.integ.STEP_FAILED, stop)
     celestial = scn._celestial_color(scene, freq, solver, res)
     color, klass = scn.fold_samples(scene, res.ev_kind, colors, stop, celestial)
-    return color, klass, stop, res.ev_overflow
+    return _wire(color, klass, stop, res.ev_overflow)
 
 
 def _gather_ray_tree(tree, idx, n):
@@ -478,7 +502,7 @@ def _retrace_chunk(scene, row_f, col_f):
     boosted max_events; a distinct static config → its own cached compile)."""
     x, p = cam.pixel_rays(scene.camera, row_f, col_f)
     s = scn.trace_rays(scene, x, p)
-    return s.color, s.ray_class, s.stop_code, s.ev_overflow
+    return _wire(s.color, s.ray_class, s.stop_code, s.ev_overflow)
 
 
 def _retrace_overflow(scene, rf, cf, idx, colors_c, classes_c, stop_c):
@@ -495,7 +519,7 @@ def _retrace_overflow(scene, rf, cf, idx, colors_c, classes_c, stop_c):
     c, k, s, ovf = jax.device_get(
         _retrace_chunk(hi, jnp.asarray(rf[pad_idx]), jnp.asarray(cf[pad_idx]))
     )
-    colors_c[idx] = c[: idx.size]
+    colors_c[idx] = _unwire(np.asarray(c))[: idx.size]
     classes_c[idx] = k[: idx.size]
     stop_c[idx] = s[: idx.size]
     if np.asarray(ovf[: idx.size]).any():
@@ -625,6 +649,7 @@ def trace_pixels_chunked(
         device; device_get is the fence (and a no-op on host arrays)."""
         start, end, m, rf, cf, arrs = chunk
         c, k, stop, ovf = (np.array(a) for a in jax.device_get(arrs))
+        c = _unwire(c)
         ovf_idx = np.nonzero(ovf[:m])[0]
         if ovf_idx.size:
             _retrace_overflow(scene, rf, cf, ovf_idx, c, k, stop)

@@ -27,6 +27,21 @@ def main():
     ap.add_argument("--max-steps", type=int, default=100000)
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--scene", default=None)
+    ap.add_argument(
+        "--tracer",
+        choices=["jit", "driver"],
+        default="jit",
+        help="jit: trace_rays_fast inside one jit (single-dispatch kernel); "
+        "driver: make_fast_tracer, which picks the phased compaction path "
+        "when GR_PHASED=1 and the budget exceeds the threshold — the A/B "
+        "for the phased-requeue decision (r2 verdict item 8)",
+    )
+    ap.add_argument(
+        "--no-objects",
+        action="store_true",
+        help="strip the scene's objects (no opaque-stop help for the cost "
+        "sort — the regime phased compaction was built for)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -53,6 +68,8 @@ def main():
         phi=0.0,
     )
     scene = cfgmod.create_scene_host(cfg, opts, jnp.float32)
+    if args.no_objects:
+        scene = scene.replace(objects=())
 
     rows = np.arange(args.size, dtype=np.float32)
     cols = np.arange(0, args.size, args.col_stride, dtype=np.float32)
@@ -60,25 +77,40 @@ def main():
     cf = jnp.asarray(np.tile(cols, rows.size))
     spec = fast_path.scene_kernel_spec(scene)
 
-    @jax.jit
-    def trace(rf, cf):
-        x, p = cam.pixel_rays(scene.camera, rf, cf)
-        s = fast_path.trace_rays_fast(scene, x, p, spec=spec)
-        return s.steps, s.color
+    if args.tracer == "driver":
+        tracer = fast_path.make_fast_tracer(scene)
 
+        def trace(rf, cf):
+            color, _, stop, _ = tracer(scene, rf, cf)
+            return stop, color
+
+    else:
+
+        @jax.jit
+        def trace(rf, cf):
+            x, p = cam.pixel_rays(scene.camera, rf, cf)
+            s = fast_path.trace_rays_fast(scene, x, p, spec=spec)
+            return s.steps, s.color
+
+    # Fence with device_get: on the tunneled runtime block_until_ready
+    # returns before the remote computation finishes (see .claude/skills/
+    # verify) — timing with it undermeasures.
     t0 = time.perf_counter()
-    steps, color = trace(rf, cf)
-    jax.block_until_ready(color)
+    steps, color = jax.device_get(trace(rf, cf))
     compile_s = time.perf_counter() - t0
-    steps_total = int(np.asarray(jax.device_get(steps), np.int64).sum())
+    # driver mode returns stop codes in the first slot; steps_total is only
+    # meaningful for the jit tracer.
+    steps_total = int(np.asarray(steps, np.int64).sum()) if args.tracer == "jit" else 0
 
     best = float("inf")
     for i in range(args.repeats):
         t0 = time.perf_counter()
-        jax.block_until_ready(trace(rf + 1e-5 * (i + 1), cf))
+        jax.device_get(trace(rf + 1e-5 * (i + 1), cf))
         best = min(best, time.perf_counter() - t0)
 
     print(
+        f"tracer={args.tracer} objects={not args.no_objects} "
+        f"phased={os.environ.get('GR_PHASED', '0')} "
         f"gate={os.environ.get('GR_EVENT_GATE', '1')} "
         f"tile={os.environ.get('GR_LANE_TILE', '1024')} "
         f"far={os.environ.get('GR_FAR_FIELD', '1')} "

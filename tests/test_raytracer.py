@@ -209,8 +209,11 @@ def test_requeued_chunk_matches_direct_trace():
     x, p = cam.pixel_rays(scene.camera, jnp.asarray(rf), jnp.asarray(cf))
     ref = scn2.trace_rays(scene, x, p)
     np.testing.assert_array_equal(np.asarray(ref.ray_class), k_req)
-    # Identical steps/events; only fusion-order roundoff differs.
-    np.testing.assert_allclose(np.asarray(ref.color), c_req, rtol=1e-10, atol=1e-10)
+    # Identical steps/events; only fusion-order roundoff differs. The chunk
+    # API returns the wire format (XYZ only — alpha is the constant 1).
+    np.testing.assert_allclose(
+        np.asarray(ref.color), rt._unwire(np.asarray(c_req)), rtol=1e-10, atol=1e-10
+    )
 
 
 # ---------------------------------------------------------------------------
