@@ -179,7 +179,7 @@ def measure():
             "note": (
                 "steps/s here divides useful ray-steps by the WHOLE frame "
                 "time, which on the tunneled chip is ~90% dispatch latency + "
-                "host transfer (scripts/bench_decomp.py); see hero_march for "
+                "host transfer (scripts/bench_decomp.py); see march_sustained for "
                 "the march-dominated rate and BASELINE.md for the roofline"
             ),
         }
@@ -187,41 +187,56 @@ def measure():
     except Exception as e:
         print(f"[bench] mfu accounting failed: {e}", file=sys.stderr)
 
-    # --- hero-budget stanza (r2 verdict weak #6): the 1e5-step regime where
-    # the march dominates the frame (cost sort, far-field acceleration and
-    # opaque-stop actually working), not the tunnel.
+    # --- sustained-march stanza (r2 verdict weak #6 / item 2): a workload
+    # where the MARCH dominates the frame instead of the tunnel. On the real
+    # scenes nothing exhausts deep budgets (opaque stop + far-field
+    # acceleration + cost sort retire lanes in ~45 steps on average; even at
+    # a 1e6-step budget the flagship frame has zero trapped lanes), so the
+    # production kernel is saturated directly: same camera rays, no objects,
+    # unreachable max_radius, far-field acceleration off — every lane
+    # marches its full 2000-step budget (horizon plunges excepted). This is
+    # the production kernel's sustained ray-steps/s, comparable against the
+    # pure-ALU ceiling (scripts/alu_ceiling_probe.py, ~1.5e9 lane-steps/s).
     hero = None
     try:
         if backend != "tpu":
             raise RuntimeError("skipped off-TPU")
-        hero_scene = scene.replace(
-            integration=scene.integration.replace(max_steps=100_000)
+        sat_scene = scene.replace(
+            objects=(),
+            integration=scene.integration.replace(
+                max_radius=jnp.asarray(1e9, jnp.float32)
+            ),
         )
-        spec = fast_path.scene_kernel_spec(hero_scene)
+        spec = fast_path.KernelSpec((), (), (), 0.0, False)
 
         @jax.jit
-        def hero_trace(rf_, cf_):
-            x_, p_ = cam.pixel_rays(hero_scene.camera, rf_, cf_)
-            s_ = fast_path.trace_rays_fast(hero_scene, x_, p_, spec=spec)
-            return s_.steps, s_.color
+        def sat_trace(rf_, cf_):
+            x_, p_ = cam.pixel_rays(sat_scene.camera, rf_, cf_)
+            s_ = fast_path.trace_rays_fast(sat_scene, x_, p_, spec=spec)
+            return s_.steps.astype(jnp.float32).sum(), s_.color[0]
 
         hrf, hcf = jnp.asarray(rf), jnp.asarray(cf)
-        steps_h, _ = jax.device_get(hero_trace(hrf, hcf))
-        hero_steps = int(np.asarray(steps_h, np.int64).sum())
+        steps_h, _ = jax.device_get(sat_trace(hrf, hcf))
+        hero_steps = int(steps_h)
         hbest = np.inf
         for i in range(2):
             t0 = time.perf_counter()
-            jax.device_get(hero_trace(hrf + 1e-4 * (i + 1), hcf))
+            jax.device_get(sat_trace(hrf + 1e-4 * (i + 1), hcf))
             hbest = min(hbest, time.perf_counter() - t0)
         hero = {
-            "workload": f"{ROWS}x{COLS} flagship @ 100k-step budget",
+            "workload": (
+                f"{ROWS}x{COLS} camera rays, no objects, unreachable "
+                f"max_radius, far-field off — every lane marches its full "
+                f"{MAX_STEPS}-step budget (the march-dominated regime)"
+            ),
             "frame_s": round(hbest, 4),
             "useful_ray_steps": hero_steps,
             "useful_steps_per_s": round(hero_steps / hbest, 1),
+            "alu_ceiling_steps_per_s": 1.5e9,
         }
-        print(f"[bench] hero_march={hero}", file=sys.stderr)
+        print(f"[bench] march_sustained={hero}", file=sys.stderr)
     except Exception as e:
-        print(f"[bench] hero stanza failed: {e}", file=sys.stderr)
+        print(f"[bench] sustained-march stanza failed: {e}", file=sys.stderr)
 
     return rays_per_s, backend, compile_s, mfu, hero
 
@@ -292,7 +307,7 @@ def emit(rays_per_s, backend, attempts=None, compile_s=None, mfu=None, hero=None
     if mfu is not None:
         rec["mfu"] = mfu
     if hero is not None:
-        rec["hero_march"] = hero
+        rec["march_sustained"] = hero
     gradient = load_gradient_block()
     if gradient is not None:
         rec["gradient"] = gradient

@@ -492,7 +492,11 @@ def run_cpu_sweep(args):
         "# Fast-path accuracy study",
         "",
         f"Probe: {args.rows}x{args.cols} rays, interpret mode on CPU (f64); "
-        "reference = adaptive-RKF45 lax path on the same scene.",
+        "reference = adaptive-RKF45 lax path on the same scene. Stop",
+        "agreement counts a SATURATED lane (opaque first hit retired the",
+        "lane; color and ray class exact by construction) as agreeing iff",
+        "the reference classifies HIT — the parity tests' semantics",
+        "(tests/test_pallas.stop_agree_mask).",
         "",
         "Generated by scripts/fastpath_accuracy.py — the committed version of",
         "the h0 sweep behind fast_path.py's step-rule constants. The on-chip",
@@ -500,14 +504,17 @@ def run_cpu_sweep(args):
         "",
     ]
 
+    from test_pallas import stop_agree_mask
+
     def measure(scene, x, p, patch):
         ref = scn.trace_rays(scene, x, p)
-        sr = np.asarray(ref.stop_code)
         cref = tone(np.asarray(ref.color))
         with patch:
             fast = fp.trace_rays_fast(scene, x, p, interpret=True)
-        sf = np.asarray(fast.stop_code)
-        agree = sr == sf
+        # Same agreement semantics as the parity tests: a SATURATED lane
+        # (opaque first hit retired the lane — exact for color and class by
+        # construction) agrees iff the reference classifies HIT.
+        agree = stop_agree_mask(ref, fast)
         err = np.abs(cref[agree] - tone(np.asarray(fast.color))[agree]).max(axis=-1)
         return dict(
             agreement=float(agree.mean()),
