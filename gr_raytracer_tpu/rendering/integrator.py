@@ -61,8 +61,10 @@ class IntegrationConfig(struct.PyTreeNode):
     track_invariants: bool = struct.field(pytree_node=False, default=False)
     # Reverse-mode-differentiable loop: a lax.scan over fixed step blocks with
     # jax.checkpoint on each block (O(attempts/block + block) residual memory
-    # instead of O(attempts)). No early exit — every lane runs the full
-    # attempt budget — so keep it for gradient passes, not plain renders.
+    # instead of O(attempts)), each block gated by a scalar all-lanes-stopped
+    # cond so a finished batch pays for the blocks it actually marches, in
+    # BOTH passes. Still costlier than the while_loop/kernel forward paths —
+    # keep it for gradient passes, not plain renders.
     differentiable: bool = struct.field(pytree_node=False, default=False)
     checkpoint_block: int = struct.field(pytree_node=False, default=32)
 
@@ -303,10 +305,23 @@ def integrate_rays(
         def run_block(c):
             return lax.scan(lambda cc, _: (body(cc), None), c, None, length=block)[0]
 
+        def maybe_block(c, _):
+            # Reverse-mode-safe early exit: once every lane has stopped, the
+            # remaining blocks take the identity branch — lax.cond on a
+            # SCALAR predicate executes one branch at runtime (forward AND
+            # backward: its linearization is again a cond), so a batch whose
+            # lanes all finish in k steps pays O(k), not O(max_attempts),
+            # in both passes. With lanes still RUNNING the block body is
+            # bit-identical to the ungated scan (a no-active-lane `body`
+            # call is itself a no-op on every carry field the result reads,
+            # so gating changes nothing but the cost).
+            return (
+                lax.cond(jnp.any(c["stop"] == RUNNING), run_block, lambda x: x, c),
+                None,
+            )
+
         n_blocks = -(-max_attempts // block)
-        final = lax.scan(
-            lambda c, _: (run_block(c), None), carry0, None, length=n_blocks
-        )[0]
+        final = lax.scan(maybe_block, carry0, None, length=n_blocks)[0]
     else:
         final = lax.while_loop(cond, body, carry0)
     if finalize:

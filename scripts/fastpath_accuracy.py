@@ -162,7 +162,16 @@ def ks_drift(radius, a, y0, yf, stop):
             kernel never touches p_t; reported to prove it)
       lz  — relative L_z = ξ·p drift (axial Killing)
       q   — relative Carter-constant drift via the KS→BL conversion
-    NaN-stopped lanes are excluded (their states are the poison itself)."""
+    NaN-stopped lanes are excluded (their states are the poison itself), and
+    so are horizon-captured lanes: the march legitimately continues INSIDE
+    the horizon (Kerr-Schild is horizon-regular) where momenta and curvature
+    terms grow without bound toward the singularity, so their final-state
+    "relative drift" is unboundedly large by construction while their
+    terminal shading (opaque black, scene.rs:178-190 semantics) depends on
+    the stop code alone — never on the final state. The lanes whose final
+    state actually feeds shading (celestial UV) are the escaped ones, and
+    every in-flight event payload (disc hits) is recorded at crossing time,
+    long before any plunge."""
     import numpy as np
 
     from gr_raytracer_tpu.rendering import integrator as integ
@@ -170,7 +179,8 @@ def ks_drift(radius, a, y0, yf, stop):
 
     y0 = np.asarray(y0, np.float64)
     yf = np.asarray(yf, np.float64)
-    ok = np.asarray(stop) != integ.NAN
+    stop = np.asarray(stop)
+    ok = (stop != integ.NAN) & (stop != integ.HORIZON)
     r_s, a = float(radius), float(a)
 
     e0 = -y0[:, 4]
@@ -193,14 +203,19 @@ def bl_residuals(r_s, a, e, l_z, q, yf, stop):
     """Mino-potential residuals of the BL kernel's final states: the state
     integrates dv_r = R'/2, dv_θ = Θ'/2, so |v_r² − R(r)| and |v_θ² − Θ(θ)|
     (exactly 0 at launch) measure accumulated f32 integration drift.
-    Extraction in numpy f64 (utils/invariants)."""
+    Extraction in numpy f64 (utils/invariants). NaN- and horizon-stopped
+    lanes are excluded for the same reasons as ks_drift: near the horizon
+    the BL chart itself degenerates (R ~ Δ² → 0 with huge R'), so a
+    captured lane's final-state residual measures the chart singularity,
+    not the integration, and its shading is state-independent."""
     import numpy as np
 
     from gr_raytracer_tpu.rendering import integrator as integ
     from gr_raytracer_tpu.utils import invariants as inv
 
     yf = np.asarray(yf, np.float64)
-    ok = np.asarray(stop) != integ.NAN
+    stop = np.asarray(stop)
+    ok = (stop != integ.NAN) & (stop != integ.HORIZON)
     e = np.asarray(e, np.float64)
     l_z = np.asarray(l_z, np.float64)
     q = np.asarray(q, np.float64)
@@ -218,15 +233,22 @@ def bl_residuals(r_s, a, e, l_z, q, yf, stop):
 
 
 def q_stats(v):
+    """mean/q99/max plus the fraction of lanes above 1e-4 — the reference's
+    own invariant-drift warn threshold (integrator.rs:184-199). The drift
+    distributions are extremely heavy-tailed (a handful of singularity-
+    grazing knife-edge lanes carry astronomically large values), so the
+    tail FRACTION is the meaningful size of the problem; mean/max alone
+    read as much worse than the per-lane reality."""
     import numpy as np
 
     v = np.asarray(v)
     if v.size == 0:
-        return {"mean": 0.0, "q99": 0.0, "max": 0.0}
+        return {"mean": 0.0, "q99": 0.0, "max": 0.0, "frac_gt_1e-4": 0.0}
     return {
         "mean": float(v.mean()),
         "q99": float(np.quantile(v, 0.99)),
         "max": float(v.max()),
+        "frac_gt_1e-4": float((v > 1e-4).mean()),
     }
 
 
@@ -376,6 +398,19 @@ def run_tpu(ref_path=None, texel_size=1000):
             y0 = np.asarray(solver.initial_state(jnp.asarray(x), jnp.asarray(p)))
             drift, ok = ks_drift(scene.geometry.radius, scene.geometry.a, y0, y_f, fs)
             row["drift"] = {k: q_stats(v) for k, v in drift.items()}
+            # Per-stop-class split: the drift tail lives entirely in the
+            # TRAPPED/BUDGET lanes — rays orbiting for thousands of steps in
+            # the strong-field region just outside the horizon, whose
+            # shading (opaque black / default) never reads the final state.
+            # The escaped lanes are the ones whose final state feeds
+            # shading (celestial UV).
+            esc_m = fs == integ.CELESTIAL
+            row["drift_escaped"] = {
+                k: q_stats(v)
+                for k, v in ks_drift(
+                    scene.geometry.radius, scene.geometry.a, y0[esc_m], y_f[esc_m], fs[esc_m]
+                )[0].items()
+            }
             drift_slow, _ = ks_drift(
                 scene.geometry.radius, scene.geometry.a, y0[slow], y_f[slow], fs[slow]
             )
@@ -390,6 +425,13 @@ def run_tpu(ref_path=None, texel_size=1000):
             q_h = np.asarray(jax.device_get(msolver.q))
             res, ok = bl_residuals(r_s_f, a_f, e_h, lz_h, q_h, y_f, fs)
             row["drift"] = {k: q_stats(v) for k, v in res.items()}
+            esc_m = fs == integ.CELESTIAL
+            row["drift_escaped"] = {
+                k: q_stats(v)
+                for k, v in bl_residuals(
+                    r_s_f, a_f, e_h[esc_m], lz_h[esc_m], q_h[esc_m], y_f[esc_m], fs[esc_m]
+                )[0].items()
+            }
             row["drift_photon_ring"] = {
                 k: q_stats(v)
                 for k, v in bl_residuals(
@@ -422,6 +464,8 @@ def run_tpu(ref_path=None, texel_size=1000):
     drift, ok = ks_drift(scene.geometry.radius, scene.geometry.a, y0, y_f, fs)
     slow = steps >= np.quantile(steps, 0.9)
     drift_slow, _ = ks_drift(scene.geometry.radius, scene.geometry.a, y0[slow], y_f[slow], fs[slow])
+    esc_m = fs == integ.CELESTIAL
+    drift_esc, _ = ks_drift(scene.geometry.radius, scene.geometry.a, y0[esc_m], y_f[esc_m], fs[esc_m])
     row = {
         "rays": int(fs.size),
         "budget": int(scene.integration.max_steps),
@@ -429,6 +473,7 @@ def run_tpu(ref_path=None, texel_size=1000):
         "steps_max": int(steps.max()),
         "vs_h0_quarter_4x_budget": {"stop_agreement": float(agree.mean()), **q_stats(err[agree])},
         "drift": {k: q_stats(v) for k, v in drift.items()},
+        "drift_escaped": {k: q_stats(v) for k, v in drift_esc.items()},
         "drift_photon_ring": {k: q_stats(v) for k, v in drift_slow.items()},
     }
     results["ks_hero_1e6"] = row
