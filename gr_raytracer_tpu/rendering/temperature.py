@@ -91,17 +91,32 @@ def _d_omega_dr(r_s, a, r):
 
 def _flux_unit_mdot(r_s, a, r, isco):
     """F(r) at ṁ = 1, vectorized over r [..]. The inner integral is a
-    midpoint rule with r-dependent spacing — computed as a [..., S] grid."""
+    midpoint rule with r-dependent spacing, accumulated by a lax.scan over
+    sample chunks rather than one [..., S] grid: with r a 1000-entry LUT
+    grid the full grid is a 1M-element intermediate whose reverse-mode
+    transpose XLA fuses into a single reduction that overflows scoped VMEM
+    on TPU ("should not be possible to run out of scoped vmem" compile
+    error). The scan bounds both passes to [..., CHUNK] per step; the LUT
+    is built once per scene, so the sequentialization costs nothing."""
+    import jax.lax as lax
+
     e, omega, l = _e_omega_l(r_s, a, r)
     denom = (r * r) * (e - omega * l) ** 2  # √−g = r² equatorial
     prefactor = _d_omega_dr(r_s, a, r) / denom
 
     dr = (r - isco) / NUM_INTEGRATION_STEPS
-    j = jnp.arange(NUM_INTEGRATION_STEPS, dtype=r.dtype)
-    r_prime = isco + (j + 0.5) * dr[..., None]  # [..., S]
-    e_p, omega_p, l_p = _e_omega_l(r_s, a, r_prime)
-    integrand = (e_p - omega_p * l_p) * _dl_dr(r_s, a, r_prime, isco)
-    integral = jnp.sum(integrand, axis=-1) * dr
+    chunk = 100
+    j0s = jnp.arange(0, NUM_INTEGRATION_STEPS, chunk, dtype=r.dtype)
+    jc = jnp.arange(chunk, dtype=r.dtype)
+
+    def chunk_sum(acc, j0):
+        r_prime = isco + (j0 + jc + 0.5) * dr[..., None]  # [..., CHUNK]
+        e_p, omega_p, l_p = _e_omega_l(r_s, a, r_prime)
+        integrand = (e_p - omega_p * l_p) * _dl_dr(r_s, a, r_prime, isco)
+        return acc + jnp.sum(integrand, axis=-1), None
+
+    total, _ = lax.scan(chunk_sum, jnp.zeros_like(r), j0s)
+    integral = total * dr
 
     r0 = r_s
     coefficient = -1.0 / (jnp.pi * r0 * r0)

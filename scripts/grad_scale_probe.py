@@ -112,7 +112,11 @@ def main():
     if not args.no_fit:
         from gr_raytracer_tpu import inverse
 
-        a_true, a_init = 0.62, 0.40
+        # Sub-extremal spins: the flagship convention is r_s = 1 (M = 0.5),
+        # so |a| <= 0.5 — the horizon vanishes above it and the march
+        # NaNs out (an earlier 0.62 target silently fit a naked
+        # singularity and diverged).
+        a_true, a_init = 0.45, 0.30
         render, _ = make_loss(
             args.rows, args.cols, args.fit_max_steps, args.checkpoint_block, dtype
         )
