@@ -513,11 +513,10 @@ def _march_kernel(
     r_plus = m + jnp.sqrt(jnp.maximum(m * m - a * a, 0.0))
     max_radius_sq = max_radius * max_radius
 
-    # Per-lane steps / stop / event buffers RESUME from the inputs: the
-    # driver's phased path (fast_path.march_phased) marches `attempts`
-    # iterations, compacts still-running lanes host-side, and feeds the
-    # outputs straight back in — the kernel-level requeue that lets the
-    # cost sort compose with true compaction at 1e6-step budgets.
+    # Per-lane steps / stop / event buffers RESUME from the inputs: a caller
+    # can march `attempts` iterations, checkpoint the output tuple, and feed
+    # it straight back in to continue — bit-identical to one uninterrupted
+    # march (tests/test_pallas.py::test_kernel_march_resume_*).
     carry0 = (
         y0,
         _ks_radius(a, y0[1], y0[2], y0[3]),
@@ -783,7 +782,7 @@ def kerr_rk4_march(
     steps for outward lanes beyond r_safe); opaque_stop stops a lane at its
     first recorded event (exact when every object texture is opaque).
 
-    Phased requeue: `attempts` bounds THIS call's in-kernel iterations
+    Checkpoint/resume: `attempts` bounds THIS call's in-kernel iterations
     (default: the full max_steps budget); `resume` is a previous call's
     output tuple to continue from (per-lane steps/events/stop carry over,
     and max_steps stays the TOTAL per-lane classification budget);
@@ -1181,7 +1180,7 @@ def kerr_bl_rk4_march(
 ):
     """Carter-separated Mino-time RK4 march (the reference's fast geometry,
     ~8-9× cheaper RHS than the KS Hamiltonian). attempts/resume/finalize:
-    phased requeue, see kerr_rk4_march."""
+    march checkpoint/resume, see kerr_rk4_march."""
     n = y0.shape[0]
     assert n % LANE_TILE == 0, f"N must be a multiple of {LANE_TILE}"
     dtype = y0.dtype

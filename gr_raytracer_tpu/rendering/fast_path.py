@@ -81,8 +81,7 @@ class KernelSpec(NamedTuple):
     """Static kernel configuration extracted from a CONCRETE scene (fails on
     tracers): object specs, the far-field safe radius, and whether every
     object is opaque (first hit saturates the alpha fold). A NamedTuple of
-    NamedTuples/floats — hashable by value, so it can be a jit static arg
-    (the phased path keys compiles on it)."""
+    NamedTuples/floats — hashable by value, so it can be a jit static arg."""
 
     discs: tuple
     spheres: tuple
@@ -162,28 +161,6 @@ def make_fast_tracer(concrete_scene, mesh=None):
     spec = scene_kernel_spec(concrete_scene)
 
     from gr_raytracer_tpu.rendering.raytracer import _wire
-
-    if _kernel_budget(concrete_scene) > PHASED_THRESHOLD:
-        # Large budgets: phased march with active-lane compaction (an eager
-        # host loop around jitted pieces — see march_phased). With a mesh the
-        # chunk is split per device and the compaction loops interleave
-        # (march_phased_mesh); rays are independent, so no collectives.
-        if mesh is not None:
-
-            def phased_mesh(scene, row_f, col_f):
-                s = march_phased_mesh(scene, row_f, col_f, spec, mesh)
-                return _wire(s.color, s.ray_class, s.stop_code, s.ev_overflow)
-
-            return phased_mesh
-
-        rays_jit = jax.jit(cam.pixel_rays)
-
-        def phased(scene, row_f, col_f):
-            x, p = rays_jit(scene.camera, row_f, col_f)
-            s = trace_rays_fast_phased(scene, x, p, spec)
-            return _wire(s.color, s.ray_class, s.stop_code, s.ev_overflow)
-
-        return phased
 
     def body(scene, row_f, col_f):
         x, p = cam.pixel_rays(scene.camera, row_f, col_f)
@@ -434,259 +411,24 @@ def trace_geometric_fast(scene, positions, momenta, interpret: bool = False, spe
 
 
 # ---------------------------------------------------------------------------
-# Phased kernel march with active-lane compaction (kernel-level requeue)
+# Kernel-level phased requeue: measured and removed (r2 verdict item 8)
 # ---------------------------------------------------------------------------
 #
-# A kernel block marches until its SLOWEST lane stops; the cost sort groups
-# slow lanes into few blocks, but within those blocks most lanes still finish
-# early and idle as masked work for up to 10⁶ steps (the #1 term in the
-# roofline gap, BASELINE.md). Phased marching fixes this: march every block a
-# bounded number of attempts, sync ONLY the [N] stop codes to the host,
-# gather the still-running lanes into a dense power-of-two bucket, and resume
-# just that bucket (the kernels' resume inputs carry per-lane steps/events).
-# Phase budgets double up to a cap, so compiles stay bounded and the phase
-# count stays logarithmic in the budget.
-
-import functools as _functools
-
-KERNEL_PHASE0 = 4096  # first-phase attempts (most lanes stop well before)
-KERNEL_PHASE_CAP = 32768  # cap on per-phase attempts (bounds compile count)
-# Budgets above this go phased — OPT-IN (GR_PHASED=1). Measured on chip
-# (r2 session 4, hero scene 500×500 @ 1e6 steps, warm cache): single
-# dispatch 47 s vs phased 64 s, bit-identical frames. The cost sort already
-# groups slow lanes into few blocks and blocks exit as soon as all their
-# lanes stop, so within-block compaction saves less than the per-round host
-# round-trips + (bucket, attempts) compiles cost, at least over a tunneled
-# chip. Phased marching remains the right primitive when block divergence
-# is genuinely high (no usable cost proxy) or host↔device latency is low.
-PHASED_THRESHOLD = (
-    2 * KERNEL_PHASE0
-    if __import__("os").environ.get("GR_PHASED", "0") == "1"
-    else (1 << 62)
-)
-
-
-def _kernel_budget(scene) -> int:
-    """Total per-lane classification budget the kernel dispatch will use."""
-    mult = 2 if isinstance(_march_geometry_of(scene), KerrBL) else 1
-    return mult * scene.integration.max_steps
-
-
-@_functools.partial(jax.jit, static_argnames=("spec", "attempts", "interpret"))
-def _phase0_jit(scene, positions, momenta, spec, attempts, interpret=False):
-    march_geometry, solver, y0, freq, inverse = _prepare_march(scene, positions, momenta)
-    state = _run_kernel(
-        march_geometry,
-        scene.integration,
-        solver,
-        y0,
-        spec,
-        interpret=interpret,
-        attempts=attempts,
-        finalize=False,
-    )
-    return march_geometry, solver, freq, inverse, state
-
-
-@_functools.partial(jax.jit, static_argnames=("spec", "attempts", "interpret"))
-def _phase_cont_jit(march_geometry, cfg, sub_solver, sub_state, spec, attempts, interpret=False):
-    return _run_kernel(
-        march_geometry,
-        cfg,
-        sub_solver,
-        sub_state[0],
-        spec,
-        interpret=interpret,
-        attempts=attempts,
-        resume=sub_state,
-        finalize=False,
-    )
-
-
-@jax.jit
-def _gather_phase(state, solver, idx):
-    n = state[0].shape[0]
-    take = lambda a: a[idx] if (hasattr(a, "ndim") and a.ndim >= 1 and a.shape[0] == n) else a
-    return jax.tree.map(lambda a: a[idx], state), jax.tree.map(take, solver)
-
-
-@jax.jit
-def _scatter_phase(state, sub, idx):
-    # Duplicate (padding) indices march identically from identical inputs,
-    # so the last-writer-wins scatter is well-defined.
-    return jax.tree.map(lambda a, b: a.at[idx].set(b), state, sub)
-
-
-@_functools.partial(jax.jit, static_argnames=("geo_only", "n", "first_event_only"))
-def _phase_finish_jit(scene, state, freq, solver, inverse, geo_only, n, first_event_only=False):
-    y_f, stop, steps, ev_kind, ev_data, ev_count, ev_overflow = state
-    stop = jnp.where(stop == integ.RUNNING, integ.BUDGET, stop)
-    res = _state_to_result((y_f, stop, steps, ev_kind, ev_data, ev_count, ev_overflow))
-    if geo_only:
-        return _finish_geo(scene, res, freq, solver, inverse, n)
-    return _finish_samples(
-        scene, res, freq, solver, inverse, n, first_event_only=first_event_only
-    )
-
-
-class _PhasedRun:
-    """One chunk's phased march as a host-steppable state machine, so a
-    mesh driver can interleave several devices' compaction loops: every
-    dispatch is async — only step()'s stop-code device_get blocks, and only
-    on THIS run's device while the others keep computing."""
-
-    def __init__(self, scene, positions, momenta, spec, geo_only, interpret, phase0, phase_cap):
-        self.scene = scene
-        self.spec = spec
-        self.geo_only = geo_only
-        self.interpret = interpret
-        self.phase_cap = phase_cap
-        self.n = positions.shape[0]
-        self.budget = _kernel_budget(scene)
-        self.attempts = phase0
-        self.rounds_left = 2 + self.budget // max(phase0, 1)
-        (
-            self.march_geometry,
-            self.solver,
-            self.freq,
-            self.inverse,
-            self.state,
-        ) = _phase0_jit(
-            scene,
-            positions,
-            momenta,
-            spec=spec,
-            attempts=min(phase0, self.budget),
-            interpret=interpret,
-        )
-
-    def step(self) -> bool:
-        """Run one compaction round; True when the march is complete.
-        Safety bound: every active lane gains `attempts` steps per round,
-        so budget/phase0 rounds strictly suffice for classification."""
-        import numpy as np
-
-        if self.rounds_left <= 0:
-            return True
-        self.rounds_left -= 1
-        stop_h = np.asarray(jax.device_get(self.state[1]))
-        active = np.nonzero(stop_h == integ.RUNNING)[0]
-        if active.size == 0:
-            return True
-        self.attempts = min(self.attempts * 2, self.phase_cap, self.budget)
-        bucket = gp.LANE_TILE
-        while bucket < active.size:
-            bucket *= 2
-        idx = jnp.asarray(
-            np.concatenate([active, np.full(bucket - active.size, active[0], active.dtype)])
-        )
-        sub_state, sub_solver = _gather_phase(self.state, self.solver, idx)
-        sub_out = _phase_cont_jit(
-            self.march_geometry,
-            self.scene.integration,
-            sub_solver,
-            sub_state,
-            spec=self.spec,
-            attempts=self.attempts,
-            interpret=self.interpret,
-        )
-        self.state = _scatter_phase(self.state, sub_out, idx)
-        return False
-
-    def finish(self):
-        return _phase_finish_jit(
-            self.scene,
-            self.state,
-            self.freq,
-            self.solver,
-            self.inverse,
-            geo_only=self.geo_only,
-            n=self.n,
-            first_event_only=bool(self.spec.opaque) and not self.geo_only,
-        )
-
-
-def march_phased(
-    scene,
-    positions,
-    momenta,
-    spec,
-    geo_only=False,
-    interpret=False,
-    phase0=KERNEL_PHASE0,
-    phase_cap=KERNEL_PHASE_CAP,
-):
-    """Eager phased-march orchestrator (host compaction loop between jitted
-    pieces — cannot live under one jit). Per-phase host traffic is one [N]
-    int32 stop vector; state/events stay device-resident throughout."""
-    run = _PhasedRun(scene, positions, momenta, spec, geo_only, interpret, phase0, phase_cap)
-    while not run.step():
-        pass
-    return run.finish()
-
-
-def march_phased_mesh(
-    scene,
-    row_f,
-    col_f,
-    spec,
-    mesh,
-    geo_only=False,
-    interpret=False,
-    phase0=KERNEL_PHASE0,
-    phase_cap=KERNEL_PHASE_CAP,
-):
-    """Data-parallel phased march over a device mesh. Rays are independent,
-    so the mesh path is per-device orchestration, not SPMD: the chunk is
-    split evenly, each segment (scene copy + camera rays) is committed to
-    its device, and the per-device compaction loops are interleaved
-    round-robin — all kernel dispatches are async, so devices compute
-    concurrently while the host blocks on one run's stop codes at a time.
-    Zero collectives, matching SURVEY §2.5 (the only cross-ray data
-    dependence in the pipeline is tone mapping / AA, handled elsewhere)."""
-    import numpy as np
-
-    devs = list(mesh.devices.ravel())
-    rf = np.asarray(jax.device_get(row_f))
-    cf = np.asarray(jax.device_get(col_f))
-    n = rf.shape[0]
-    assert n % len(devs) == 0, "chunk must divide the mesh"
-    seg = n // len(devs)
-    rays_jit = _camera_rays_jit  # module-level: one compile across chunks
-
-    runs = []
-    for i, dev in enumerate(devs):
-        scene_d = jax.device_put(scene, dev) if len(devs) > 1 else scene
-        rf_d = jax.device_put(jnp.asarray(rf[i * seg : (i + 1) * seg]), dev)
-        cf_d = jax.device_put(jnp.asarray(cf[i * seg : (i + 1) * seg]), dev)
-        x, p = rays_jit(scene_d.camera, rf_d, cf_d)
-        runs.append(
-            _PhasedRun(scene_d, x, p, spec, geo_only, interpret, phase0, phase_cap)
-        )
-    pending = list(runs)
-    while pending:
-        pending = [r for r in pending if not r.step()]
-    # finish() dispatches per device (async); pull to host and stitch —
-    # committed arrays on different devices cannot concat on-device.
-    outs = [jax.device_get(r.finish()) for r in runs]
-    return jax.tree.map(lambda *xs: jnp.asarray(np.concatenate(xs)), *outs)
-
-
-def _camera_rays(camera, row_f, col_f):
-    from gr_raytracer_tpu.rendering import camera as cam
-
-    return cam.pixel_rays(camera, row_f, col_f)
-
-
-_camera_rays_jit = jax.jit(_camera_rays)
-
-
-def trace_rays_fast_phased(scene, positions, momenta, spec, interpret=False, **kw):
-    return march_phased(scene, positions, momenta, spec, geo_only=False, interpret=interpret, **kw)
-
-
-def trace_geometric_fast_phased(scene, positions, momenta, spec, interpret=False, **kw):
-    return march_phased(scene, positions, momenta, spec, geo_only=True, interpret=interpret, **kw)
+# Rounds 1-2 carried a phased march (bounded-attempt kernel dispatches with
+# host-side compaction of still-RUNNING lanes into dense power-of-two
+# buckets, resumed via the kernels' resume inputs). Measured on chip in the
+# regime it was built for (scripts/march_probe.py --tracer driver
+# --no-objects --max-steps 1000000, 63k hero-camera lanes), it LOSES in
+# every configuration: 0.087 s phased vs 0.063 s single-dispatch with
+# far-field acceleration on, 0.593 s vs 0.465 s with it off (the genuinely
+# divergent regime) — and the ~20 ms/phase delta is the tunnel round-trip,
+# i.e. even at zero host latency it is at best parity. The impact-parameter
+# cost sort already groups slow lanes into few blocks and every block exits
+# as soon as its lanes stop, so within-block compaction has nothing left to
+# recover. The orchestration layer is deleted; the kernels keep their
+# attempts/resume/finalize inputs (tests/test_pallas.py exercises two-leg
+# resume == single shot) — the march checkpointing primitive stands on its
+# own for preemption-tolerant deep-budget renders.
 
 
 def make_fast_geo_tracer(concrete_scene):
@@ -700,15 +442,6 @@ def make_fast_geo_tracer(concrete_scene):
     if not supports_scene(concrete_scene):
         raise ValueError("scene shape unsupported by the pallas fast path")
     spec = scene_kernel_spec(concrete_scene)
-
-    if _kernel_budget(concrete_scene) > PHASED_THRESHOLD:
-        rays_jit = jax.jit(cam.pixel_rays)
-
-        def phased(scene, row_f, col_f):
-            x, p = rays_jit(scene.camera, row_f, col_f)
-            return trace_geometric_fast_phased(scene, x, p, spec)
-
-        return phased
 
     def body(scene, row_f, col_f):
         x, p = cam.pixel_rays(scene.camera, row_f, col_f)

@@ -633,8 +633,9 @@ def trace_pixels_chunked(
     # come from not holding the whole chunk for the slow tail); below that
     # the per-phase host syncs cost more than they save. It is a LAX-path
     # lever only: the fast path handles large budgets inside the kernel
-    # (cost-sorted blocks exit early; make_fast_tracer picks the phased
-    # kernel march when that wins). Ordering regression note: routing
+    # (cost-sorted blocks exit early; a kernel-level phased variant was
+    # measured slower in every regime and removed — see fast_path.py).
+    # Ordering regression note: routing
     # fast-path scenes through the lax requeue at high budgets made hero
     # render #4 4.3x slower (959 s vs 224 s baseline, r2 session 4).
     cfg_i = scene.integration

@@ -32,15 +32,14 @@ def main():
         choices=["jit", "driver"],
         default="jit",
         help="jit: trace_rays_fast inside one jit (single-dispatch kernel); "
-        "driver: make_fast_tracer, which picks the phased compaction path "
-        "when GR_PHASED=1 and the budget exceeds the threshold — the A/B "
-        "for the phased-requeue decision (r2 verdict item 8)",
+        "driver: make_fast_tracer, the shipped driver path (the r3 A/B "
+        "that retired the phased-requeue orchestration ran through here)",
     )
     ap.add_argument(
         "--no-objects",
         action="store_true",
         help="strip the scene's objects (no opaque-stop help for the cost "
-        "sort — the regime phased compaction was built for)",
+        "sort — the maximally divergent-block regime)",
     )
     args = ap.parse_args()
 
@@ -110,7 +109,6 @@ def main():
 
     print(
         f"tracer={args.tracer} objects={not args.no_objects} "
-        f"phased={os.environ.get('GR_PHASED', '0')} "
         f"gate={os.environ.get('GR_EVENT_GATE', '1')} "
         f"tile={os.environ.get('GR_LANE_TILE', '1024')} "
         f"far={os.environ.get('GR_FAR_FIELD', '1')} "

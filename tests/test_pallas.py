@@ -556,120 +556,52 @@ horizon_epsilon = 1e-4""",
     assert err.mean() < 1e-2
 
 
-def test_phased_march_matches_single_shot():
-    """Kernel-level requeue (fast_path.march_phased): tiny phases + host
-    compaction must reproduce the single-shot march exactly — the resumed
-    kernel continues each lane's identical fixed-step trajectory, only the
-    block scheduling differs."""
+def _two_leg_vs_single(scene, x, p, attempts0):
+    """March in two bounded-attempt legs via the kernels' checkpoint/resume
+    inputs and compare against the single-shot march, bit for bit."""
+    from gr_raytracer_tpu.rendering import integrator as integ
+
+    spec = fast_path.scene_kernel_spec(scene)
+    geo, solver, y0, _, _ = fast_path._prepare_march(scene, x, p)
+    cfg = scene.integration
+    leg1 = fast_path._run_kernel(
+        geo, cfg, solver, y0, spec, interpret=True, attempts=attempts0, finalize=False
+    )
+    # The probe budget must leave some lanes mid-march, or resume is vacuous.
+    assert (np.asarray(leg1[1]) == integ.RUNNING).any()
+    leg2 = fast_path._run_kernel(
+        geo, cfg, solver, leg1[0], spec, interpret=True, resume=leg1
+    )
+    single = fast_path._run_kernel(geo, cfg, solver, y0, spec, interpret=True)
+    for name, a, b in zip(
+        ("y", "stop", "steps", "ev_kind", "ev_data", "ev_count", "ev_overflow"),
+        leg2,
+        single,
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=name)
+
+
+def test_kernel_march_resume_ks():
+    """The KS kernel's attempts/resume/finalize inputs give checkpointable
+    marches: two resumed legs == one shot, bit-identical (per-lane steps,
+    events and stop codes carry over; max_steps stays the TOTAL budget).
+    This is the primitive for preemption-tolerant deep-budget renders.
+    (The phased-requeue orchestration once built on it was measured slower
+    than single dispatch in every regime and removed — fast_path.py has the
+    numbers.)"""
     scene, x, p = flagship(8, 16)
-    spec = fast_path.scene_kernel_spec(scene)
-    single = fast_path.trace_rays_fast(scene, x, p, interpret=True, spec=spec)
-    phased = fast_path.trace_rays_fast_phased(
-        scene, x, p, spec, interpret=True, phase0=128, phase_cap=512
-    )
-    np.testing.assert_array_equal(
-        np.asarray(phased.stop_code), np.asarray(single.stop_code)
-    )
-    np.testing.assert_array_equal(
-        np.asarray(phased.ray_class), np.asarray(single.ray_class)
-    )
-    np.testing.assert_array_equal(np.asarray(phased.steps), np.asarray(single.steps))
-    # rtol only: the phased finish is jitted while the single-shot reference
-    # here runs eagerly, and XLA fusion reassociates f32 shading arithmetic
-    # at the ULP level (HDR radiances are ~1e4, so atol is meaningless).
-    np.testing.assert_allclose(
-        np.asarray(phased.color), np.asarray(single.color), rtol=1e-4, atol=1e-6
-    )
+    # 16 attempts: the flagship's far-field + opaque-stop levers retire most
+    # lanes in tens of steps, so a first leg longer than ~100 would finish
+    # everything and make the resume assertion vacuous.
+    _two_leg_vs_single(scene, x, p, attempts0=16)
 
 
-def test_phased_march_bl_kernel():
-    """Phased requeue through the BL/Mino kernel (per-lane conserved E/L_z/Q
-    must gather with the state into continuation buckets)."""
+def test_kernel_march_resume_bl():
+    """Resume through the BL/Mino kernel: the per-lane conserved (E, L_z, Q)
+    solver rides along unchanged and the Mino-time march continues each
+    lane's identical fixed-step trajectory."""
     scene, x, p = kerr_bl_scene(8, 16)
-    spec = fast_path.scene_kernel_spec(scene)
-    single = fast_path.trace_rays_fast(scene, x, p, interpret=True, spec=spec)
-    phased = fast_path.trace_rays_fast_phased(
-        scene, x, p, spec, interpret=True, phase0=256, phase_cap=1024
-    )
-    np.testing.assert_array_equal(
-        np.asarray(phased.stop_code), np.asarray(single.stop_code)
-    )
-    np.testing.assert_array_equal(np.asarray(phased.steps), np.asarray(single.steps))
-    np.testing.assert_allclose(
-        np.asarray(phased.color), np.asarray(single.color), rtol=1e-9, atol=1e-12
-    )
-
-
-def test_phased_geo_matches_single_shot():
-    """trace_geometric_fast_phased == trace_geometric_fast on a volumetric
-    Kerr scene (the hero-#5 shape rides the phased geometric pass at its
-    20k-step budget): identical events, payloads, stop codes, celestial."""
-    from gr_raytracer_tpu import config as cfgmod
-
-    cfg = cfgmod.parse_config(KERR_VOLUMETRIC_SCENE)
-    opts = cfgmod.RenderOptions(
-        width=16,
-        height=8,
-        max_steps=4000,
-        max_radius=30.0,
-        step_size=0.05,
-        camera_position=(-12.0, 0.0, -1.5),
-        theta=1.52,
-        psi=-1.57,
-    )
-    scene = cfgmod.create_scene(cfg, opts)
-    spec = fast_path.scene_kernel_spec(scene)
-    rr, cc = np.meshgrid(np.arange(8.0), np.arange(16.0), indexing="ij")
-    x, p = cam.pixel_rays(scene.camera, jnp.asarray(rr.ravel()), jnp.asarray(cc.ravel()))
-    single = fast_path.trace_geometric_fast(scene, x, p, interpret=True, spec=spec)
-    phased = fast_path.trace_geometric_fast_phased(
-        scene, x, p, spec, interpret=True, phase0=256, phase_cap=1024
-    )
-    np.testing.assert_array_equal(
-        np.asarray(phased.stop_code), np.asarray(single.stop_code)
-    )
-    np.testing.assert_array_equal(np.asarray(phased.ev_kind), np.asarray(single.ev_kind))
-    np.testing.assert_allclose(
-        np.asarray(phased.ev_data), np.asarray(single.ev_data), rtol=1e-5, atol=1e-6
-    )
-    np.testing.assert_allclose(
-        np.asarray(phased.celestial), np.asarray(single.celestial), rtol=1e-4, atol=1e-6
-    )
-
-
-def test_phased_march_mesh_matches_unsharded():
-    """march_phased_mesh (per-device interleaved compaction loops) must
-    reproduce the unsharded phased result exactly: same kernels, same
-    per-lane cadence — the split is pure data parallelism over rays."""
-    import jax
-
-    from gr_raytracer_tpu.parallel import mesh as pmesh
-
-    rows, cols = 8, 16
-    scene, x, p = flagship(rows, cols)
-    spec = fast_path.scene_kernel_spec(scene)
-    rr, cc = jnp.meshgrid(
-        jnp.arange(rows, dtype=jnp.float32),
-        jnp.arange(cols, dtype=jnp.float32),
-        indexing="ij",
-    )
-    rf, cf = rr.ravel(), cc.ravel()
-    base = fast_path.trace_rays_fast_phased(
-        scene, x, p, spec, interpret=True, phase0=256, phase_cap=1024
-    )
-    mesh = pmesh.ray_mesh(jax.devices()[:2])
-    meshed = fast_path.march_phased_mesh(
-        scene, rf, cf, spec, mesh, interpret=True, phase0=256, phase_cap=1024
-    )
-    np.testing.assert_array_equal(
-        np.asarray(meshed.stop_code), np.asarray(base.stop_code)
-    )
-    np.testing.assert_array_equal(
-        np.asarray(meshed.ray_class), np.asarray(base.ray_class)
-    )
-    np.testing.assert_allclose(
-        np.asarray(meshed.color), np.asarray(base.color), rtol=1e-4, atol=1e-6
-    )
+    _two_leg_vs_single(scene, x, p, attempts0=256)
 
 
 def test_kernel_multi_crossing_event_buffer():
