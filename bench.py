@@ -38,8 +38,11 @@ import subprocess
 import sys
 import time
 
-ROWS = COLS = 256
-MAX_STEPS = 2000
+# Scored config is fixed (256² / 2000 steps); the env overrides exist for
+# the CI smoke (scripts/ci.sh) which runs the same code path on CPU at a
+# small size — a smoke run never overwrites a scored BENCH_r*.json.
+ROWS = COLS = int(os.environ.get("GR_BENCH_SIZE", "256"))
+MAX_STEPS = int(os.environ.get("GR_BENCH_STEPS", "2000"))
 REPEATS = 3
 WARM_TIMEOUT_S = 2700  # cold remote compile through the tunnel takes ~25 min
 MEASURE_TIMEOUT_S = 600

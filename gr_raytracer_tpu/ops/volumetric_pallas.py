@@ -403,6 +403,48 @@ def _texture_color(spec: VolSpec, u, v, temperature, redshift):
     return x, y, z, alpha
 
 
+def _sample_optics(spec: VolSpec, px, py, pz, obs_e, p_t, p_phi):
+    """Per-sample optics at Cartesian position p — everything in the march
+    body that does not touch the loop carry: density (fBm noise × radial/
+    vertical envelopes), transport-free redshift, temperature, texture color
+    and the T⁴/T_ref⁴ Stefan-Boltzmann emission weight. Shared by the kernel
+    and the roofline probe (scripts/vol_ceiling_probe.py), so the probe
+    measures the EXACT production expression.
+
+    Returns (density, emit_ok, ex, ey, ez, lalpha): density unmasked by the
+    carry's live flag (the caller gates), emit_ok the position-only emission
+    condition, e* the intensity-scaled texture XYZ."""
+    density, r_axis, cphi, sphi = _density(spec, px, py, pz)
+    emitting = density > 0.0
+
+    # Transport-free per-sample redshift (volumetric_disc.rs:252-258):
+    # BL radius from the Cartesian sample (exact for a = 0 too).
+    rho_sq = px * px + py * py + pz * pz
+    dd = rho_sq - spec.a * spec.a
+    r_bl = jnp.sqrt(
+        jnp.maximum(
+            0.5 * (dd + jnp.sqrt(dd * dd + 4.0 * spec.a * spec.a * pz * pz)), 1e-30
+        )
+    )
+    u_t, u_phi, orbit_ok = _killing_coefficients(spec.r_s, spec.a, r_bl)
+    emitter_energy = u_t * p_t + u_phi * p_phi
+    emit_ok = emitting & orbit_ok & (jnp.abs(emitter_energy) > 0.0)
+    safe_e = jnp.where(emit_ok, emitter_energy, 1.0)
+    redshift = jnp.where(emit_ok, obs_e / safe_e, 1.0)
+
+    temperature = _temperature(spec, r_axis)
+    # UV (objects/volumetric_disc.py uv()): r from the in-plane radius.
+    r_norm = (r_axis - spec.inner) / (spec.outer - spec.inner)
+    u_uv = 0.5 + 0.5 * r_norm * cphi
+    v_uv = 0.5 + 0.5 * r_norm * sphi
+    lx, ly, lz, lalpha = _texture_color(spec, u_uv, v_uv, temperature, redshift)
+
+    t_ratio = temperature / spec.brightness_ref
+    t2 = t_ratio * t_ratio
+    intensity = t2 * t2
+    return density, emit_ok, intensity * lx, intensity * ly, intensity * lz, lalpha
+
+
 # ---------------------------------------------------------------------------
 # Kernel
 # ---------------------------------------------------------------------------
@@ -492,45 +534,22 @@ def _march_kernel(in_ref, out_ref, *, spec: VolSpec):
         pz = roz + rdz * d_o
         d_o_new = d_o + d_s
 
-        density, r_axis, cphi, sphi = _density(spec, px, py, pz)
+        density, emit_ok, ex, ey, ez, lalpha = _sample_optics(
+            spec, px, py, pz, obs_e, p_t, p_phi
+        )
         density = jnp.where(live, density, 0.0)
-        emitting = density > 0.0
 
         attenuation = jnp.exp(-d_s * density * sigma)
         transparency = jnp.where(live, transparency0 * attenuation, transparency0)
-
-        # Transport-free per-sample redshift (volumetric_disc.rs:252-258):
-        # BL radius from the Cartesian sample (exact for a = 0 too).
-        rho_sq = px * px + py * py + pz * pz
-        dd = rho_sq - spec.a * spec.a
-        r_bl = jnp.sqrt(
-            jnp.maximum(
-                0.5 * (dd + jnp.sqrt(dd * dd + 4.0 * spec.a * spec.a * pz * pz)), 1e-30
-            )
-        )
-        u_t, u_phi, orbit_ok = _killing_coefficients(spec.r_s, spec.a, r_bl)
-        emitter_energy = u_t * p_t + u_phi * p_phi
-        live_emit = emitting & orbit_ok & (jnp.abs(emitter_energy) > 0.0)
-        safe_e = jnp.where(live_emit, emitter_energy, 1.0)
-        redshift = jnp.where(live_emit, obs_e / safe_e, 1.0)
-
-        temperature = _temperature(spec, r_axis)
-        # UV (objects/volumetric_disc.py uv()): r from the in-plane radius.
-        r_norm = (r_axis - spec.inner) / (spec.outer - spec.inner)
-        u_uv = 0.5 + 0.5 * r_norm * cphi
-        v_uv = 0.5 + 0.5 * r_norm * sphi
-        lx, ly, lz, lalpha = _texture_color(spec, u_uv, v_uv, temperature, redshift)
+        live_emit = emit_ok & live
 
         # light_attenuation == attenuation (same expression); reuse it.
-        t_ratio = temperature / spec.brightness_ref
-        t2 = t_ratio * t_ratio
-        intensity = t2 * t2
         weight = transparency * attenuation * spec.scattering * density * d_s
         emit_f = jnp.where(live_emit, 1.0, 0.0)
-        wscale = weight * intensity * emit_f
-        acc_x = c_x + wscale * lx
-        acc_y = c_y + wscale * ly
-        acc_z = c_z + wscale * lz
+        wscale = weight * emit_f
+        acc_x = c_x + wscale * ex
+        acc_y = c_y + wscale * ey
+        acc_z = c_z + wscale * ez
 
         alpha_w = jnp.where(live_emit, density * d_s, 0.0)
         a_w_sum = c_ws + jnp.clip(lalpha, 0.0, 1.0) * alpha_w

@@ -556,23 +556,32 @@ horizon_epsilon = 1e-4""",
     assert err.mean() < 1e-2
 
 
-def _two_leg_vs_single(scene, x, p, attempts0):
+def _two_leg_vs_single(scene, x, p):
     """March in two bounded-attempt legs via the kernels' checkpoint/resume
-    inputs and compare against the single-shot march, bit for bit."""
+    inputs and compare against the single-shot march, bit for bit.
+
+    attempts0 is derived from the single-shot march (half the slowest lane's
+    step count — with the fixed-step kernels an active lane advances once per
+    in-kernel iteration, so the slowest lane is guaranteed still RUNNING
+    after leg 1) rather than hard-coded per scene: changes to far-field /
+    opaque-stop defaults can't silently make the resume assertion vacuous."""
     from gr_raytracer_tpu.rendering import integrator as integ
 
     spec = fast_path.scene_kernel_spec(scene)
     geo, solver, y0, _, _ = fast_path._prepare_march(scene, x, p)
     cfg = scene.integration
+    single = fast_path._run_kernel(geo, cfg, solver, y0, spec, interpret=True)
+    slowest = int(np.asarray(single[2]).max())
+    assert slowest >= 2, "probe scene retires every lane instantly; resume vacuous"
+    attempts0 = max(1, slowest // 2)
     leg1 = fast_path._run_kernel(
         geo, cfg, solver, y0, spec, interpret=True, attempts=attempts0, finalize=False
     )
-    # The probe budget must leave some lanes mid-march, or resume is vacuous.
+    # The derived budget must leave some lanes mid-march, or resume is vacuous.
     assert (np.asarray(leg1[1]) == integ.RUNNING).any()
     leg2 = fast_path._run_kernel(
         geo, cfg, solver, leg1[0], spec, interpret=True, resume=leg1
     )
-    single = fast_path._run_kernel(geo, cfg, solver, y0, spec, interpret=True)
     for name, a, b in zip(
         ("y", "stop", "steps", "ev_kind", "ev_data", "ev_count", "ev_overflow"),
         leg2,
@@ -590,10 +599,7 @@ def test_kernel_march_resume_ks():
     than single dispatch in every regime and removed — fast_path.py has the
     numbers.)"""
     scene, x, p = flagship(8, 16)
-    # 16 attempts: the flagship's far-field + opaque-stop levers retire most
-    # lanes in tens of steps, so a first leg longer than ~100 would finish
-    # everything and make the resume assertion vacuous.
-    _two_leg_vs_single(scene, x, p, attempts0=16)
+    _two_leg_vs_single(scene, x, p)
 
 
 def test_kernel_march_resume_bl():
@@ -601,7 +607,7 @@ def test_kernel_march_resume_bl():
     solver rides along unchanged and the Mino-time march continues each
     lane's identical fixed-step trajectory."""
     scene, x, p = kerr_bl_scene(8, 16)
-    _two_leg_vs_single(scene, x, p, attempts0=256)
+    _two_leg_vs_single(scene, x, p)
 
 
 def test_kernel_multi_crossing_event_buffer():

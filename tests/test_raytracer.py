@@ -312,6 +312,72 @@ def test_overflow_retrace_recovers_dropped_events():
     np.testing.assert_array_equal(ok1, ok8)
 
 
+def test_overflow_beyond_retrace_capacity_keeps_truncated_fold(capfd):
+    """A lane that overflows even the 32-slot re-trace buffer keeps its
+    truncated 32-event fold and the driver logs the residual overflow to
+    stderr (raytracer._retrace_overflow; the reference records every
+    crossing unbounded, scene.rs:141-152 — 32 covers every physically
+    sensible count, so this synthetic scene threads a ray through 17
+    concentric SEMI-TRANSPARENT sphere shells = 34 crossings; the shells
+    are spaced wider than H_MAX so every crossing lands in its own
+    segment and the per-segment nearest-hit selection records each)."""
+    import jax
+
+    from gr_raytracer_tpu.geometry.euclidean import EuclideanSpace
+    from gr_raytracer_tpu.objects.sphere import Sphere
+    from gr_raytracer_tpu.rendering.texture import CheckerMap
+    from scene_helpers import build_test_scene
+
+    geometry = EuclideanSpace()
+    position = jnp.asarray([0.0, 30.0, 0.0, 0.0])
+    camera = cam.build_camera(
+        geometry, position, geometry.stationary_velocity(position),
+        alpha=jnp.pi / 4, rows=3, columns=3,
+    )
+    # alpha = 32/255: small enough that the fold keeps ~1% transmittance at
+    # slot 32, so the dropped 33rd/34th events change the color observably
+    # (opaque shells would saturate at the first slot and hide the tail).
+    tex = CheckerMap.from_srgb(0.0, 1.0, 1.0, (255, 60, 0, 32), (120, 40, 0, 32))
+    n_shells = (rt.OVERFLOW_MAX_EVENTS + 2) // 2  # 17 shells -> 34 crossings
+    shells = tuple(
+        Sphere(
+            radius=jnp.asarray(2.0 + 1.5 * i),
+            center=jnp.zeros(4),
+            temperature=jnp.asarray(0.0),
+            texture=tex,
+        )
+        for i in range(n_shells)
+    )
+    base = build_test_scene(geometry, camera)
+    scene = base.replace(
+        objects=shells,
+        integration=base.integration.replace(max_steps=500, max_radius=jnp.asarray(60.0)),
+    )
+
+    rr = np.asarray([1.0])  # center pixel: straight through the origin
+    cc = np.asarray([1.0])
+    c, k, ok = rt.trace_pixels_chunked(scene, rr, cc, chunk_size=1)
+    err = capfd.readouterr().err
+    assert "still overflow" in err, f"expected residual-overflow log, got: {err!r}"
+
+    # The kept result is exactly the truncated 32-event fold of the driver's
+    # own re-trace function (the jitted and eager lax paths can take
+    # different adaptive-step sequences — accept decisions flip at the error
+    # threshold — so the spec is pinned through the same compiled fn).
+    rfj, cfj = jnp.asarray(rr), jnp.asarray(cc)
+    trace_with = lambda me: rt._retrace_chunk(
+        scene.replace(integration=scene.integration.replace(max_events=me)), rfj, cfj
+    )
+    c32, k32, _, ovf32 = (np.asarray(a) for a in jax.device_get(trace_with(rt.OVERFLOW_MAX_EVENTS)))
+    assert ovf32.all(), "ray failed to overflow 32 slots"
+    np.testing.assert_allclose(c, rt._unwire(c32), rtol=1e-12, atol=1e-12)
+    np.testing.assert_array_equal(k, k32)
+    # ... which is genuinely truncated: the dropped crossings change the fold.
+    c_full, _, _, ovf_full = (np.asarray(a) for a in jax.device_get(trace_with(40)))
+    assert not ovf_full.any()
+    assert np.abs(rt._unwire(c_full) - rt._unwire(c32)).max() > 1e-6
+
+
 def test_below_isco_disc_hit_fails_pixel():
     """A disc reaching below r_isco reproduces the reference's BelowRISCO
     per-pixel error (temperature.rs:204-217): the ray fails, renders the
