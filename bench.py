@@ -236,12 +236,90 @@ def measure():
             "useful_ray_steps": hero_steps,
             "useful_steps_per_s": round(hero_steps / hbest, 1),
             "alu_ceiling_steps_per_s": 1.5e9,
+            "vs_baseline": _stanza_ratio(
+                hero_steps / hbest, backend, ("march_sustained", "useful_steps_per_s")
+            ),
         }
         print(f"[bench] march_sustained={hero}", file=sys.stderr)
     except Exception as e:
         print(f"[bench] sustained-march stanza failed: {e}", file=sys.stderr)
 
-    return rays_per_s, backend, compile_s, mfu, hero
+    # --- sustained volumetric raymarch (r3 verdict item 2/4): the binding
+    # cost of hero #5. Full-occupancy synthetic lanes through the PRODUCTION
+    # Pallas raymarch (ops/volumetric_pallas.raymarch — clipping, early exit,
+    # split-domain fits, unroll all active) on the vendored streaky disc;
+    # samples counted by the same clipped-interval math the kernel marches
+    # (vp.march_length), so the rate is comparable against the pure-ALU
+    # ceiling (scripts/vol_ceiling_probe.py, docs/vol_roofline.json).
+    vol = None
+    try:
+        if backend != "tpu":
+            raise RuntimeError("skipped off-TPU")
+        from gr_raytracer_tpu import config as cfgmod2
+        from gr_raytracer_tpu.ops import volumetric_pallas as vp
+        from gr_raytracer_tpu.utils import assets
+
+        vcfg = cfgmod2.load_config(assets.scene_path("kerr-volumetric-streaky.toml"))
+        vopts = cfgmod2.RenderOptions(
+            width=8, height=8, max_steps=2000,
+            camera_position=(-10.0, 0.0, -0.5), theta=1.52, psi=-1.57,
+        )
+        try:
+            cpu = jax.devices("cpu")[0]
+        except Exception:
+            cpu = None
+        if cpu is not None:
+            with jax.default_device(cpu):
+                vscene = cfgmod2.create_scene(vcfg, vopts, jnp.float32)
+        else:
+            vscene = cfgmod2.create_scene(vcfg, vopts, jnp.float32)
+        vobj = next(o for o in vscene.objects if hasattr(o, "raymarch"))
+        vspec = vp.build_vol_spec(vobj, vscene.geometry)
+
+        rng = np.random.default_rng(0)
+        n_l = 16384
+        r = rng.uniform(vspec.inner * 1.2, vspec.outer * 0.8, n_l)
+        phi = rng.uniform(0.0, 2 * np.pi, n_l)
+        h = rng.uniform(-0.3, 0.3, n_l) * vspec.thickness
+        ro = np.stack([r * np.cos(phi), r * np.sin(phi), h], -1).astype(np.float32)
+        tang = np.stack(
+            [-np.sin(phi), np.cos(phi), 0.02 * rng.standard_normal(n_l)], -1
+        )
+        rd = (tang / np.linalg.norm(tang, axis=-1, keepdims=True)).astype(np.float32)
+        obs = np.ones(n_l, np.float32)
+        ptv = -np.ones(n_l, np.float32)
+        ppv = (2.0 + 0.1 * rng.standard_normal(n_l)).astype(np.float32)
+        act = np.ones(n_l, bool)
+        exd = np.full(n_l, 1e9, np.float32)
+        samples = float(vp.march_length(vobj, ro, rd, exd).sum() / vspec.step_size)
+
+        vfn = jax.jit(
+            lambda *a: vp.raymarch(vspec, *a)
+        )
+        args = [jnp.asarray(v) for v in (ro, rd, obs, ptv, ppv, act, exd)]
+        jax.device_get(vfn(*args))
+        vbest = np.inf
+        for _ in range(2):
+            t0 = time.perf_counter()
+            jax.device_get(vfn(*args))
+            vbest = min(vbest, time.perf_counter() - t0)
+        vol = {
+            "workload": (
+                f"{n_l} full-occupancy in-disc lanes through the production "
+                "volumetric Pallas raymarch (kerr-volumetric-streaky disc)"
+            ),
+            "march_s": round(vbest, 4),
+            "samples": int(samples),
+            "samples_per_s": round(samples / vbest, 1),
+            "vs_baseline": _stanza_ratio(
+                samples / vbest, backend, ("vol_sustained", "samples_per_s")
+            ),
+        }
+        print(f"[bench] vol_sustained={vol}", file=sys.stderr)
+    except Exception as e:
+        print(f"[bench] vol-sustained stanza failed: {e}", file=sys.stderr)
+
+    return rays_per_s, backend, compile_s, mfu, hero, vol
 
 
 def warm():
@@ -280,6 +358,29 @@ def load_baseline(backend):
     return None
 
 
+def _stanza_ratio(value, backend, keys):
+    """value / earliest recorded same-backend value at the nested `keys`
+    path in BENCH_r*.json — per-stanza round-over-round scoring where the
+    compute actually binds (r3 verdict item 4). None when no prior round
+    recorded the stanza (it then becomes this round's baseline)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        try:
+            rec = json.load(open(path))
+            if isinstance(rec, dict) and "tail" in rec and "parsed" in rec:
+                rec = rec["parsed"]
+            if rec.get("backend") != backend:
+                continue
+            node = rec
+            for k in keys:
+                node = node[k]
+            if node:
+                return round(float(value) / float(node), 4)
+        except Exception:
+            continue
+    return None
+
+
 def load_gradient_block():
     """The committed production-scale gradient measurement
     (scripts/grad_scale_probe.py → docs/gradient_bench.json): one
@@ -295,7 +396,7 @@ def load_gradient_block():
         return None
 
 
-def emit(rays_per_s, backend, attempts=None, compile_s=None, mfu=None, hero=None):
+def emit(rays_per_s, backend, attempts=None, compile_s=None, mfu=None, hero=None, vol=None):
     baseline = load_baseline(backend)
     vs_baseline = rays_per_s / baseline if baseline else 1.0
     rec = {
@@ -311,6 +412,8 @@ def emit(rays_per_s, backend, attempts=None, compile_s=None, mfu=None, hero=None
         rec["mfu"] = mfu
     if hero is not None:
         rec["march_sustained"] = hero
+    if vol is not None:
+        rec["vol_sustained"] = vol
     gradient = load_gradient_block()
     if gradient is not None:
         rec["gradient"] = gradient
@@ -348,8 +451,8 @@ def main():
         warm()
         return
     if "--worker" in sys.argv:
-        rays_per_s, backend, compile_s, mfu, hero = measure()
-        emit(rays_per_s, backend, compile_s=compile_s, mfu=mfu, hero=hero)
+        rays_per_s, backend, compile_s, mfu, hero, vol = measure()
+        emit(rays_per_s, backend, compile_s=compile_s, mfu=mfu, hero=hero, vol=vol)
         return
 
     attempts = []

@@ -97,6 +97,16 @@ def _build_parser():
         "resume an interrupted render from them (default PATH: the output "
         "filename); removed after a successful save",
     )
+    r.add_argument(
+        "--halo",
+        action="store_true",
+        help="seam-free sectioned adaptive sampling: trace a 1-px halo ring "
+        "around the section so the AA contrast stencil sees across the crop "
+        "edge (the reference documents a 1-px seam instead, "
+        "raytracer.rs:413-421); with an explicit adaptive_sampling."
+        "minimum_luminance, stitched sections match the single-frame render "
+        "bit for bit",
+    )
     r.add_argument("--from-row", type=int, default=None)
     r.add_argument("--from-col", type=int, default=None)
     r.add_argument("--to-row", type=int, default=None)
@@ -242,7 +252,10 @@ def cmd_render(args, dtype):
 
         from gr_raytracer_tpu.parallel.mesh import ray_mesh
 
-        devs = jax.devices()
+        # Multi-process runs shard over THIS process's devices only (each
+        # process renders its own section; a global mesh would need every
+        # process to address every shard).
+        devs = jax.local_devices() if jax.process_count() > 1 else jax.devices()
         want = len(devs) if args.devices <= 0 else min(args.devices, len(devs))
         if want > 1:
             mesh = ray_mesh(devs[:want])
@@ -287,6 +300,7 @@ def cmd_render(args, dtype):
             mesh=mesh,
             checkpoint_path=ckpt_path,
             checkpoint_key=ckpt_key,
+            halo=args.halo,
         )
     if args.raw_section:
         h, w = out.color.shape[:2]

@@ -1,0 +1,364 @@
+"""Custom VJP for the Kerr-Schild Pallas march: in-kernel checkpointed
+reverse sweep (SURVEY.md §7 hard part 7; r3 verdict item 1).
+
+Reverse mode previously flowed only through the lax `differentiable=True`
+scan (integrator.py) — ~35× slower than the kernel forward path. Here the
+kernel forward IS the differentiated function:
+
+  forward   geodesic_pallas.kerr_rk4_march with ckpt_every=K — the exact
+            production march, plus the pre-step state every K iterations
+            ([S, 8, N] in HBM; ~32 B/ray/segment).
+  backward  one Pallas kernel on a (blocks × segments) grid, segments in
+            REVERSE order. Per segment: re-forward K steps from the
+            checkpoint (bit-replaying the forward's masked advance — h is a
+            pure function of the current state, so the trajectory
+            reconstructs exactly), storing the K intermediate states in
+            VMEM scratch; then sweep them backward applying jax.vjp of the
+            full step function (RK4 + radius-scaled h + far-field lever +
+            the disc-crossing event payload) to carry the adjoint state λ
+            and accumulate ∂L/∂radius and ∂L/∂a. The λ and ∂-accumulators
+            live in revisited output blocks, so each block's whole reverse
+            sweep stays on-chip; segments past a block's last active step
+            are skipped (`seg·K ≥ max(steps)` guard), so a block that
+            retired in 50 steps pays ~50 backward steps, not the budget.
+
+Exactness: the VJP differentiates the DISCRETE forward map (same steps,
+same masks), not a continuous adjoint ODE — central finite differences of
+the actual kernel forward agree to f64 roundoff (tests/test_adjoint.py).
+Discrete decisions (stop codes, which step crossed the disc, cost-sort
+order) are treated as locally constant, exactly like the lax path's
+where-masks.
+
+Scope (v1): the KS kernel with thin discs and opaque textures (the
+flagship/benchmark shape) — with `opaque_stop` the only shaded event is
+slot 0, recorded at the lane's final step, so its payload cotangent injects
+at a known iteration (g = steps−1). Unsupported scenes keep the lax
+differentiable path (fast_path.supports_diff gates).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gr_raytracer_tpu.ops import geodesic_pallas as gp
+from gr_raytracer_tpu.rendering import integrator as integ
+
+K_CKPT = 128  # steps per checkpoint segment (VMEM: K·8 tiles ≈ 4 MB)
+
+
+def _masked_step(radius, a, h0, h_min_frac, r_ref_scale, r_safe, y, active):
+    """One masked RK4 advance — op-for-op the march body's
+    (geodesic_pallas._march_kernel). The forward kernel carries the radius
+    between iterations as an optimization, but that carried value is always
+    _ks_radius(y_g) for the same y_g, so recomputing it here replays the
+    identical step sizes. r₊ is recomputed from (radius, a) INSIDE so its
+    ∂/∂a flows through h."""
+    m = 0.5 * radius
+    r_plus = m + jnp.sqrt(jnp.maximum(m * m - a * a, 1e-30))
+    r_here = gp._ks_radius(a, y[1], y[2], y[3])
+    h = h0 * jnp.clip((r_here - r_plus) / r_ref_scale, h_min_frac, 1.0)
+    k1 = gp._rhs(radius, a, y)
+    if r_safe > 0.0:
+        rho = jnp.sqrt(y[1] * y[1] + y[2] * y[2] + y[3] * y[3])
+        # max() guard: bit-identical to the kernel's unguarded sqrt for any
+        # real lane (null-ray speeds are O(1)), but keeps the sqrt VJP
+        # finite at degenerate states — d√x at 0 is inf, and inf·0 = NaN
+        # would poison λ through the untaken where-branch.
+        speed = jnp.sqrt(jnp.maximum(k1[1] ** 2 + k1[2] ** 2 + k1[3] ** 2, 1e-30))
+        outward = (y[1] * k1[1] + y[2] * k1[2] + y[3] * k1[3]) > 0.0
+        h_far = (
+            jnp.minimum(0.5 * (rho - r_safe), 0.125 * rho)
+            / jnp.maximum(speed, 1e-12)
+        )
+        h = jnp.where(outward & (rho > r_safe), jnp.maximum(h, h_far), h)
+    k2 = gp._rhs(radius, a, y + 0.5 * h * k1)
+    k3 = gp._rhs(radius, a, y + 0.5 * h * k2)
+    k4 = gp._rhs(radius, a, y + h * k3)
+    y_new = y + (h / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+    return jnp.where(active[None], y_new, y)
+
+
+def _disc_payload(discs, ev_kind0, y, y_new):
+    """The slot-0 disc-crossing payload of the step (y → y_new), as stored by
+    geodesic_pallas._store_disc_events: [point3 | p_interp4 | uv2 | seg3].
+    Multi-disc scenes select the per-disc UV bounds by the recorded kind."""
+    z_prev, z_new = y[3], y_new[3]
+    frac = z_prev / (z_prev - z_new + jnp.where(z_prev == z_new, 1.0, 0.0))
+    px = y[1] + frac * (y_new[1] - y[1])
+    py = y[2] + frac * (y_new[2] - y[2])
+    rr = jnp.sqrt(jnp.maximum(px * px + py * py, 1e-30))
+    phi = gp._atan2(py, px)
+    inner = jnp.zeros_like(px) + float(discs[0].inner)
+    outer = jnp.zeros_like(px) + float(discs[0].outer)
+    for d in discs[1:]:
+        sel = ev_kind0 == d.kind
+        inner = jnp.where(sel, float(d.inner), inner)
+        outer = jnp.where(sel, float(d.outer), outer)
+    r_norm = (rr - inner) / (outer - inner)
+    u = 0.5 + 0.5 * r_norm * jnp.cos(phi)
+    v = 0.5 + 0.5 * r_norm * jnp.sin(phi)
+    return frac, px, py, u, v
+
+
+def _step_with_payload(discs, h0, h_min_frac, r_ref_scale, r_safe,
+                       ev_kind0, radius, a, y, active):
+    """The per-iteration map G: y ↦ (y_new, slot-0 payload). The payload is
+    computed for every lane (cotangent-masked by the caller); its divisions
+    are guarded so inactive/benign lanes contribute exact zeros."""
+    y_new = _masked_step(radius, a, h0, h_min_frac, r_ref_scale, r_safe, y, active)
+    frac, px, py, u, v = _disc_payload(discs, ev_kind0, y, y_new)
+    p_prev = gp._momentum_contra(radius, a, y)
+    p_new = gp._momentum_contra(radius, a, y_new)
+    p_interp = p_prev + frac[None] * (p_new - p_prev)
+    seg = y_new[1:4] - y[1:4]
+    payload = jnp.concatenate(
+        [px[None], py[None], jnp.zeros_like(px)[None], p_interp, u[None], v[None], seg],
+        axis=0,
+    )  # [12, SUB, LANE]
+    return y_new, payload
+
+
+def _bwd_kernel(
+    ckpt_ref,     # (1, 8, SUB, LANE) — segment-start state (reversed order)
+    ct_y_ref,     # (8, SUB, LANE)    — cotangent of the final state
+    ct_ev_ref,    # (W, SUB, LANE)    — cotangent of the slot-0 event payload
+    steps_ref,    # (SUB, LANE) i32   — per-lane accepted step count
+    gradok_ref,   # (SUB, LANE) i32   — 1 where the lane's adjoint is valid
+    hasev_ref,    # (SUB, LANE) i32   — 1 where slot 0 holds a disc event
+    evkind_ref,   # (SUB, LANE) i32   — slot-0 object index
+    param_ref,    # SMEM (8, 1): radius, a
+    lam_ref,      # out (8, SUB, LANE) — λ carry; holds dL/dy0 after the sweep
+    dp_ref,       # out SMEM (1, 2)    — (dL/dradius, dL/da) block partials
+    states,       # scratch (K, 8, SUB, LANE)
+    *,
+    n_seg: int,
+    k_ckpt: int,
+    attempts: int,
+    discs: tuple,
+    h0: float,
+    h_min_frac: float,
+    r_ref_scale: float,
+    r_safe: float,
+):
+    j = pl.program_id(1)
+    radius = param_ref[0, 0]
+    a = param_ref[1, 0]
+    steps = steps_ref[:, :]
+    grad_ok = gradok_ref[:, :] != 0
+    has_ev = hasev_ref[:, :] != 0
+    ev_kind0 = evkind_ref[:, :]
+
+    @pl.when(j == 0)
+    def _():
+        lam_ref[:, :, :] = ct_y_ref[:, :, :]
+        dp_ref[0, 0] = jnp.zeros((), ct_y_ref.dtype)
+        dp_ref[0, 1] = jnp.zeros((), ct_y_ref.dtype)
+
+    seg = n_seg - 1 - j
+    seg_start = seg * k_ckpt
+    # seg is traced (program_id) — bound the tail segment via jnp.minimum.
+    k_eff = jnp.minimum(k_ckpt, attempts - seg_start)
+    s_max = jnp.max(steps)
+
+    @pl.when(seg_start < s_max)
+    def _process():
+        y_seg = ckpt_ref[0]
+        # Benign far-field state WITH non-degenerate momentum: every sqrt/
+        # divide in the step and payload Jacobians must be finite here, or
+        # masked lanes leak NaN into λ (0·inf) — zero momentum would put the
+        # far-field speed sqrt exactly at its infinite-slope point.
+        # (Built by stack, not .at[].set — scatter does not lower in Mosaic.)
+        zero = jnp.zeros_like(y_seg[0])
+        safe_state = jnp.stack(
+            [zero, zero + 10.0, zero, zero, zero - 1.0, zero, zero + 1.0, zero], axis=0
+        )
+
+        # --- re-forward the segment, storing the pre-step states ----------
+        def fwd_body(k, y):
+            states[k] = y
+            g = seg_start + k
+            active = g < steps
+            lane_ok = (
+                jnp.isfinite(y[0]) & jnp.isfinite(y[1]) & jnp.isfinite(y[2])
+                & jnp.isfinite(y[3]) & jnp.isfinite(y[4]) & jnp.isfinite(y[5])
+                & jnp.isfinite(y[6]) & jnp.isfinite(y[7])
+            )
+            # Benign substitution for non-finite (stopped-NaN) lanes: their
+            # step is masked out, but a NaN operand would still poison the
+            # masked branch (0·NaN) — integrator.py:190 uses the same trick.
+            y_eval = jnp.where((active & lane_ok)[None], y, safe_state)
+            y_new = _masked_step(
+                radius, a, h0, h_min_frac, r_ref_scale, r_safe, y_eval, active & lane_ok
+            )
+            return jnp.where((active & lane_ok)[None], y_new, y)
+
+        jax.lax.fori_loop(0, k_eff, fwd_body, y_seg)
+
+        # --- reverse sweep: adjoint + parameter partials -------------------
+        def bwd_body(i, carry):
+            lam, dr, da = carry
+            k = k_eff - 1 - i
+            g = seg_start + k
+            y_g = states[k]
+            active = (g < steps) & grad_ok
+            lane_ok = (
+                jnp.isfinite(y_g[0]) & jnp.isfinite(y_g[1]) & jnp.isfinite(y_g[2])
+                & jnp.isfinite(y_g[3]) & jnp.isfinite(y_g[4]) & jnp.isfinite(y_g[5])
+                & jnp.isfinite(y_g[6]) & jnp.isfinite(y_g[7])
+            )
+            act = active & lane_ok
+            y_eval = jnp.where(act[None], y_g, safe_state)
+
+            fn = functools.partial(
+                _step_with_payload, discs, h0, h_min_frac, r_ref_scale, r_safe,
+                ev_kind0,
+            )
+            _, vjp = jax.vjp(lambda r_, a_, y_: fn(r_, a_, y_, act), radius, a, y_eval)
+            stored = has_ev & (g == steps - 1) & act
+            ct_payload = jnp.where(stored[None], ct_ev_ref[:, :, :], 0.0)
+            d_r, d_a, lam_new = vjp((lam, ct_payload))
+            # Masked-out lanes (frozen, or NaN-excluded): the step is the
+            # identity on y_eval inside the vjp'd function, so λ passes
+            # through unchanged automatically — the benign substitution
+            # happened OUTSIDE the differentiated function and never enters
+            # the cotangent path.
+            return lam_new, dr + d_r, da + d_a
+
+        lam0 = lam_ref[:, :, :]
+        lam_f, dr_f, da_f = jax.lax.fori_loop(
+            0, k_eff, bwd_body, (lam0, jnp.zeros((), lam0.dtype), jnp.zeros((), lam0.dtype))
+        )
+        lam_ref[:, :, :] = lam_f
+        dp_ref[0, 0] += dr_f
+        dp_ref[0, 1] += da_f
+
+
+def make_ks_march_diff(
+    *,
+    h0: float,
+    max_steps: int,
+    discs: tuple,
+    r_safe: float,
+    h_min_frac: float = 0.01,
+    r_ref_scale: float = 10.0,
+    k_ckpt: int = K_CKPT,
+    interpret: bool = False,
+):
+    """Build the differentiable KS march for a static kernel configuration.
+
+    Returns fn(radius, a, horizon_eps, max_radius, y0) →
+        (y_f [N,8], ev_data [N,K,W], stop, steps, ev_kind, ev_count, ev_ovf)
+    with a custom VJP: cotangents are accepted on y_f and ev_data[:, 0]
+    (slots ≥ 1 are never shaded under opaque_stop — their cotangents are
+    structurally zero and asserted away by the caller). horizon_eps and
+    max_radius only move discrete stop decisions — zero cotangent.
+    """
+    if not discs:
+        raise ValueError("diff march needs at least one disc (flagship shape)")
+    n_seg = -(-int(max_steps) // int(k_ckpt))
+    static = dict(
+        h0=float(h0), h_min_frac=float(h_min_frac), r_ref_scale=float(r_ref_scale),
+        r_safe=float(r_safe),
+    )
+
+    def fwd_march(radius, a, horizon_eps, max_radius, y0):
+        out = gp.kerr_rk4_march(
+            radius, a, horizon_eps, y0,
+            h0=h0, max_steps=max_steps, max_radius=max_radius,
+            discs=discs, h_min_frac=h_min_frac, r_ref_scale=r_ref_scale,
+            r_safe=r_safe, opaque_stop=True, interpret=interpret,
+            ckpt_every=k_ckpt,
+        )
+        y_f, stop, steps, ev_kind, ev_data, ev_count, ev_ovf, ckpt = out
+        return (y_f, ev_data, stop, steps, ev_kind, ev_count, ev_ovf), ckpt
+
+    @jax.custom_vjp
+    def march(radius, a, horizon_eps, max_radius, y0):
+        res, _ = fwd_march(radius, a, horizon_eps, max_radius, y0)
+        return res
+
+    def march_fwd(radius, a, horizon_eps, max_radius, y0):
+        res, ckpt = fwd_march(radius, a, horizon_eps, max_radius, y0)
+        y_f, ev_data, stop, steps, ev_kind, ev_count, ev_ovf = res
+        residuals = (radius, a, ckpt, stop, steps, ev_kind, ev_count)
+        return res, residuals
+
+    def march_bwd(residuals, cts):
+        radius, a, ckpt, stop, steps, ev_kind, ev_count = residuals
+        ct_yf, ct_ev = cts[0], cts[1]  # int outputs carry float0 cotangents
+        n = ct_yf.shape[0]
+        dtype = ct_yf.dtype
+        lane = gp.LANE
+
+        grad_ok = (stop != integ.NAN).astype(jnp.int32)
+        has_ev = ((ev_count > 0) & (ev_kind[:, 0] >= 0)).astype(jnp.int32)
+        ev_kind0 = jnp.maximum(ev_kind[:, 0], 0)
+
+        to_tiles = lambda v, rows: v.T.reshape(rows, n // lane, lane)
+        ct_y_t = to_tiles(ct_yf, 8)
+        ct_ev_t = to_tiles(ct_ev[:, 0, :], gp.EVENT_WIDTH)
+        row = lambda v: v.reshape(n // lane, lane)
+        params = jnp.stack([jnp.full((1,), radius, dtype), jnp.full((1,), a, dtype)]
+                           + [jnp.zeros((1,), dtype)] * 6).reshape(8, 1)
+
+        n_blocks = n // gp.LANE_TILE
+        lane_block = lambda rows: pl.BlockSpec(
+            (rows, gp.SUB, lane), lambda b, j: (0, b, 0), memory_space=pltpu.VMEM
+        )
+        flat_block = pl.BlockSpec(
+            (gp.SUB, lane), lambda b, j: (b, 0), memory_space=pltpu.VMEM
+        )
+        kernel = functools.partial(
+            _bwd_kernel, n_seg=n_seg, k_ckpt=k_ckpt, attempts=int(max_steps),
+            discs=discs, **static,
+        )
+        lam, dp = pl.pallas_call(
+            kernel,
+            grid=(n_blocks, n_seg),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 8, gp.SUB, lane),
+                    lambda b, j: (n_seg - 1 - j, 0, b, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                lane_block(8),
+                lane_block(gp.EVENT_WIDTH),
+                flat_block,
+                flat_block,
+                flat_block,
+                flat_block,
+                pl.BlockSpec((8, 1), lambda b, j: (0, 0), memory_space=pltpu.SMEM),
+            ],
+            out_specs=[
+                lane_block(8),
+                pl.BlockSpec((1, 2), lambda b, j: (b, 0), memory_space=pltpu.SMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((8, n // lane, lane), dtype),
+                jax.ShapeDtypeStruct((n_blocks, 2), dtype),
+            ],
+            scratch_shapes=[pltpu.VMEM((k_ckpt, 8, gp.SUB, lane), dtype)],
+            interpret=interpret,
+        )(
+            ckpt.reshape(n_seg, 8, n // lane, lane),
+            ct_y_t,
+            ct_ev_t,
+            row(steps),
+            row(grad_ok),
+            row(has_ev),
+            row(ev_kind0),
+            params,
+        )
+        d_y0 = lam.reshape(8, n).T
+        d_radius = jnp.sum(dp[:, 0]).astype(radius.dtype)
+        d_a = jnp.sum(dp[:, 1]).astype(a.dtype)
+        return (d_radius, d_a, jnp.zeros_like(radius), jnp.zeros_like(radius), d_y0)
+
+    march.defvjp(march_fwd, march_bwd)
+    return march

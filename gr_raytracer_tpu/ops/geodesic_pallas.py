@@ -64,10 +64,16 @@ def _atan(x):
 
     Range-reduce: |x| > 1 via atan(x) = π/2 − atan(1/x), then two half-angle
     reductions z ← z/(1+√(1+z²)) bring the argument under 0.199 where a
-    degree-11 odd Taylor term is exact to ~6e-11 — far beyond f32 needs."""
+    degree-11 odd Taylor term is exact to ~6e-11 — far beyond f32 needs.
+
+    The reciprocal guard floors at 1.0, not a tiny eps: the branch is only
+    SELECTED when ax > 1 (where max(ax, 1) = ax — primal identical), and a
+    tiny floor makes the untaken branch's VJP square a ~1e30 intermediate —
+    inf in f32, whose 0·inf = NaN poisons reverse mode through the where
+    (the adjoint kernel differentiates through this, geodesic_adjoint.py)."""
     ax = jnp.abs(x)
     inv = ax > 1.0
-    z = jnp.where(inv, 1.0 / jnp.maximum(ax, 1e-30), ax)
+    z = jnp.where(inv, 1.0 / jnp.maximum(ax, 1.0), ax)
     z = z / (1.0 + jnp.sqrt(1.0 + z * z))
     z = z / (1.0 + jnp.sqrt(1.0 + z * z))
     z2 = z * z
@@ -489,7 +495,7 @@ def _march_kernel(
     y_out_ref,
     meta_ref,
     ev_data_ref,
-    *,
+    *maybe_ckpt,  # [ckpt_ref (S, 8, SUB, LANE)] when ckpt_every > 0
     attempts: int,
     budget_steps: int,
     discs: tuple,
@@ -498,6 +504,7 @@ def _march_kernel(
     r_safe: float = 0.0,
     opaque_stop: bool = False,
     finalize: bool = True,
+    ckpt_every: int = 0,
 ):
     radius = param_ref[0, 0]
     a = param_ref[1, 0]
@@ -531,6 +538,8 @@ def _march_kernel(
             jnp.any(meta[META_STOP] == integ.RUNNING), it < attempts
         )
 
+    ckpt_ref = maybe_ckpt[0] if maybe_ckpt else None
+
     def body(c):
         y, r_here, meta, ev_data, it = c
         stop = meta[META_STOP]
@@ -539,6 +548,15 @@ def _march_kernel(
         ev_kind = meta[META_KIND0 : META_KIND0 + MAX_EVENTS]
         ev_ovf = meta[META_OVF]
         active = stop == integ.RUNNING
+
+        if ckpt_ref is not None:
+            # Reverse-sweep checkpoint (ops/geodesic_adjoint.py): the PRE-step
+            # state every ckpt_every iterations. Stale rows past a block's
+            # last active iteration are never read back (the backward gates
+            # each segment on seg·K < max(steps)).
+            @pl.when(it % ckpt_every == 0)
+            def _():
+                ckpt_ref[it // ckpt_every] = y
 
         # Distance-above-horizon scaling: photon-ring orbits (r ~ r₊) need a
         # much finer step than the r/r_ref rule gives; far-field rays stay at
@@ -774,6 +792,7 @@ def kerr_rk4_march(
     attempts: int | None = None,
     resume=None,
     finalize: bool = True,
+    ckpt_every: int = 0,
 ):
     """March N rays; returns an integrator.IntegrationResult-compatible
     tuple of numpy-friendly arrays (see integrator.py for field meaning).
@@ -786,7 +805,11 @@ def kerr_rk4_march(
     (default: the full max_steps budget); `resume` is a previous call's
     output tuple to continue from (per-lane steps/events/stop carry over,
     and max_steps stays the TOTAL per-lane classification budget);
-    finalize=False leaves unfinished lanes RUNNING instead of BUDGET."""
+    finalize=False leaves unfinished lanes RUNNING instead of BUDGET.
+
+    ckpt_every > 0 additionally returns an 8th element: the pre-step state
+    every ckpt_every iterations, [S, 8, N] with S = ceil(attempts/K) — the
+    reverse-sweep checkpoints for the custom VJP (ops/geodesic_adjoint.py)."""
     n = y0.shape[0]
     assert n % LANE_TILE == 0, f"N must be a multiple of {LANE_TILE}"
     dtype = y0.dtype
@@ -831,8 +854,27 @@ def kerr_rk4_march(
         r_safe=float(r_safe),
         opaque_stop=bool(opaque_stop),
         finalize=bool(finalize),
+        ckpt_every=int(ckpt_every),
     )
-    y_f, meta, ev_data = pl.pallas_call(
+    out_specs = [
+        lane_spec(8),
+        lane_spec(META_ROWS),
+        lane_spec(MAX_EVENTS * EVENT_WIDTH),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((8, n // LANE, LANE), dtype),
+        jax.ShapeDtypeStruct((META_ROWS, n // LANE, LANE), jnp.int32),
+        jax.ShapeDtypeStruct((MAX_EVENTS * EVENT_WIDTH, n // LANE, LANE), dtype),
+    ]
+    if ckpt_every:
+        n_seg = -(-int(attempts) // int(ckpt_every))
+        out_specs.append(
+            pl.BlockSpec(
+                (n_seg, 8, SUB, LANE), lambda i: (0, 0, i, 0), memory_space=pltpu.VMEM
+            )
+        )
+        out_shape.append(jax.ShapeDtypeStruct((n_seg, 8, n // LANE, LANE), dtype))
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -841,23 +883,16 @@ def kerr_rk4_march(
             lane_spec(MAX_EVENTS * EVENT_WIDTH),
             pl.BlockSpec((8, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
-        out_specs=[
-            lane_spec(8),
-            lane_spec(META_ROWS),
-            lane_spec(MAX_EVENTS * EVENT_WIDTH),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((8, n // LANE, LANE), dtype),
-            jax.ShapeDtypeStruct((META_ROWS, n // LANE, LANE), jnp.int32),
-            jax.ShapeDtypeStruct((MAX_EVENTS * EVENT_WIDTH, n // LANE, LANE), dtype),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(y_t, meta_in, ev_in, params)
+    y_f, meta, ev_data = outs[:3]
 
     y_f = y_f.reshape(8, n)
     meta = meta.reshape(META_ROWS, n)
     ev_data = ev_data.reshape(MAX_EVENTS * EVENT_WIDTH, n)
-    return (
+    result = (
         y_f.T,  # [N, 8]
         meta[META_STOP],
         meta[META_STEPS],
@@ -866,6 +901,9 @@ def kerr_rk4_march(
         meta[META_COUNT],
         meta[META_OVF] != 0,
     )
+    if ckpt_every:
+        return result + (outs[3].reshape(-1, 8, n),)
+    return result
 
 
 # ---------------------------------------------------------------------------

@@ -48,8 +48,22 @@ SUB = 8  # f32 sublane count — each per-ray variable is a (SUB, LANE) tile
 LANE = 128
 BLOCK = SUB * LANE  # rays per kernel block
 TEMP_DEG = 32
-BB_DEG = 48
+# Blackbody log-XYZ fits are split at log₁₀T = 3.8 into two lower-degree
+# Chebyshev domains evaluated by ONE Clenshaw recurrence over per-lane
+# selected coefficients: deg (16, 12) matches the single deg-48 fit to
+# ≤2e-5 relative (scan in scripts/vol_ceiling_probe.py history) while
+# cutting the Clenshaw FMAs ~3x — the texture was ~14% of the per-sample
+# cost (docs/vol_roofline.json).
+BB_SPLIT = 3.8
+BB_DEG_LO = 16  # [lo, BB_SPLIT] — the steep Wien-tail side
+BB_DEG_HI = 12  # [BB_SPLIT, hi]
 BB_LOG_FLOOR = -120.0  # log10 of "no emission" (f64 min ~1e-308; f32 flushes)
+# March-loop unroll: samples per while-loop iteration. Each sub-sample
+# carries its own exact live mask (d < d_hi, not yet saturated), so any
+# factor is bit-equivalent to the rolled loop; the win is amortizing the
+# per-iteration while_loop overhead (~44% of the per-sample time at the
+# `advance` floor, docs/vol_roofline.json).
+UNROLL = int(__import__("os").environ.get("GR_VOL_UNROLL", "4"))
 
 
 # ---------------------------------------------------------------------------
@@ -87,6 +101,30 @@ def cheb_eval(coeffs, lo, hi, x):
     return t * b1 - b2 + coeffs[0]
 
 
+def cheb_eval_dual(c_lo, c_hi, lo, split, hi, in_hi, x):
+    """Split-domain Clenshaw: one recurrence over per-lane SELECTED static
+    coefficients (the two coefficient tuples are zero-padded to a common
+    degree). `in_hi` selects the [split, hi] domain; the domain affine map
+    is selected the same way. Cost: max(deg)+1 selects + max(deg) FMAs
+    instead of a single high-degree fit's FMAs."""
+    n = max(len(c_lo), len(c_hi))
+    c_lo = tuple(c_lo) + (0.0,) * (n - len(c_lo))
+    c_hi = tuple(c_hi) + (0.0,) * (n - len(c_hi))
+    t = jnp.where(
+        in_hi,
+        (2.0 * x - (split + hi)) / (hi - split),
+        (2.0 * x - (lo + split)) / (split - lo),
+    )
+    t2 = 2.0 * t
+    b1 = jnp.zeros_like(x)
+    b2 = jnp.zeros_like(x)
+    for a, b in zip(reversed(c_lo[1:]), reversed(c_hi[1:])):
+        c = jnp.where(in_hi, b, a) if a != b else a
+        b1, b2 = t2 * b1 - b2 + c, b1
+    c0 = jnp.where(in_hi, c_hi[0], c_lo[0])
+    return t * b1 - b2 + c0
+
+
 class TempSpec(NamedTuple):
     """Static temperature model: constant, or Chebyshev fit of T⁴(r)."""
 
@@ -98,15 +136,21 @@ class TempSpec(NamedTuple):
 
 
 class TexSpec(NamedTuple):
-    """Static texture: blackbody (3 log-XYZ Chebyshev fits) or checker."""
+    """Static texture: blackbody (split-domain log-XYZ Chebyshev fits,
+    cx/cy/cz over [lo, split] and cx2/cy2/cz2 over [split, hi]) or
+    checker."""
 
     kind: str  # "blackbody" | "checker"
     beaming: float = 0.0
     lo: float = 0.0
     hi: float = 1.0
+    split: float = 1.0
     cx: tuple = ()
     cy: tuple = ()
     cz: tuple = ()
+    cx2: tuple = ()
+    cy2: tuple = ()
+    cz2: tuple = ()
     c1: tuple = ()  # checker XYZA
     c2: tuple = ()
     width: float = 1.0
@@ -137,6 +181,11 @@ class VolSpec(NamedTuple):
     a: float
     temp: TempSpec
     tex: TexSpec
+    # Octave truncation (kernel-only lever): drop the smallest-amplitude fBm
+    # octaves (amplitude 0.5^k of a unit-amplitude stack — octave 7 moves the
+    # density ≤0.8%). Parity vs the untruncated lax path is measured by the
+    # kernel parity tests / fastpath accuracy runs; default 0 = exact stack.
+    drop_octaves: int = 0
 
 
 def build_temp_spec(model, emit_lo=None, emit_hi=None) -> TempSpec:
@@ -178,14 +227,16 @@ def build_tex_spec(texture) -> TexSpec:
     from gr_raytracer_tpu.rendering import blackbody
 
     log_t = np.asarray(texture.log_t, np.float64)
-    # Fit log₁₀XYZ of the SMOOTH Planck×CIE integral (deg 48 → ~1e-8
-    # relative), not the 1000-point linear LUT: the LUT's own error vs the
-    # integral is ~1% at the steep low-T end (the reference budgets 2%,
-    # texture.rs LUT test), so the kernel is strictly MORE accurate than the
-    # lax LUT path; parity tests budget that 1%. Below ~400 K (lo = 2.6) the
-    # radiance underflows even f64 — the kernel returns 0 there.
+    # Fit log₁₀XYZ of the SMOOTH Planck×CIE integral — split at BB_SPLIT
+    # into deg (16, 12) domains, ≤2e-5 relative vs the integral — not the
+    # 1000-point linear LUT: the LUT's own error vs the integral is ~1% at
+    # the steep low-T end (the reference budgets 2%, texture.rs LUT test),
+    # so the kernel is strictly MORE accurate than the lax LUT path; parity
+    # tests budget that 1%. Below ~400 K (lo = 2.6) the radiance underflows
+    # even f64 — the kernel returns 0 there.
     lo = max(float(log_t[0]), 2.6)
     hi = float(log_t[-1])
+    split = min(max(BB_SPLIT, lo + 0.1), hi - 0.1)
 
     def chan(c):
         def f(l):
@@ -201,9 +252,13 @@ def build_tex_spec(texture) -> TexSpec:
         beaming=float(texture.beaming_exponent),
         lo=lo,
         hi=hi,
-        cx=cheb_fit(chan(0), lo, hi, BB_DEG),
-        cy=cheb_fit(chan(1), lo, hi, BB_DEG),
-        cz=cheb_fit(chan(2), lo, hi, BB_DEG),
+        split=split,
+        cx=cheb_fit(chan(0), lo, split, BB_DEG_LO),
+        cy=cheb_fit(chan(1), lo, split, BB_DEG_LO),
+        cz=cheb_fit(chan(2), lo, split, BB_DEG_LO),
+        cx2=cheb_fit(chan(0), split, hi, BB_DEG_HI),
+        cy2=cheb_fit(chan(1), split, hi, BB_DEG_HI),
+        cz2=cheb_fit(chan(2), split, hi, BB_DEG_HI),
     )
 
 
@@ -232,6 +287,7 @@ def build_vol_spec(obj, geometry) -> VolSpec:
             obj.temperature_model, float(obj.inner_radius), float(obj.outer_radius)
         ),
         tex=build_tex_spec(obj.texture),
+        drop_octaves=int(__import__("os").environ.get("GR_VOL_DROP_OCTAVES", "0")),
     )
 
 
@@ -340,7 +396,7 @@ def _density(spec: VolSpec, px, py, pz):
         r * spec.noise_scale[0],
         cphi * spec.noise_scale[1],
         sphi * spec.noise_scale[1],
-        spec.num_octaves,
+        max(1, spec.num_octaves - spec.drop_octaves),
         0.5,
     )
     n = n + 0.5 * noise.perlin3_lanes(key, r * 0.5, h * spec.noise_scale[2], cphi)
@@ -389,9 +445,14 @@ def _texture_color(spec: VolSpec, u, v, temperature, redshift):
         l = jnp.log(t_shift) / _LOG10_E_INV  # log10
         in_dom = l >= tex.lo
         lc = jnp.clip(l, tex.lo, tex.hi)
-        x = jnp.exp(cheb_eval(tex.cx, tex.lo, tex.hi, lc) * _LOG10_E_INV)
-        y = jnp.exp(cheb_eval(tex.cy, tex.lo, tex.hi, lc) * _LOG10_E_INV)
-        z = jnp.exp(cheb_eval(tex.cz, tex.lo, tex.hi, lc) * _LOG10_E_INV)
+        in_hi = lc >= tex.split  # shared by the three channel evals
+        ev = lambda c_lo, c_hi: jnp.exp(
+            cheb_eval_dual(c_lo, c_hi, tex.lo, tex.split, tex.hi, in_hi, lc)
+            * _LOG10_E_INV
+        )
+        x = ev(tex.cx, tex.cx2)
+        y = ev(tex.cy, tex.cy2)
+        z = ev(tex.cz, tex.cz2)
         zero = jnp.zeros_like(x)
         x = jnp.where(in_dom, x, zero)
         y = jnp.where(in_dom, y, zero)
@@ -524,8 +585,12 @@ def _march_kernel(in_ref, out_ref, *, spec: VolSpec):
     def cond(c):
         return jnp.logical_and(jnp.any(c[7] < 0.5), c[8] < spec.max_steps)
 
-    def body(c):
-        k, transparency0, c_x, c_y, c_z, c_ws, c_wt, c_done, i = c
+    def sub_sample(s):
+        """One exact march sample (same math and exit conditions as the
+        rolled loop); applied UNROLL times per while iteration — each
+        sub-sample carries its own live mask, so unrolling is
+        bit-equivalent and only amortizes the loop overhead."""
+        k, transparency0, c_x, c_y, c_z, c_ws, c_wt, c_done = s
         live = c_done < 0.5
 
         d_o = k * d_s
@@ -560,7 +625,13 @@ def _march_kernel(in_ref, out_ref, *, spec: VolSpec):
         saturated = transparency < SATURATION_EPS
         done = jnp.where((c_done > 0.5) | (d_o_new >= d_hi) | saturated, 1.0, 0.0)
         k_keep = jnp.where(live, k + 1.0, k)
-        return (k_keep, transparency, acc_x, acc_y, acc_z, a_w_sum, a_w_tot, done, i + 1)
+        return (k_keep, transparency, acc_x, acc_y, acc_z, a_w_sum, a_w_tot, done)
+
+    def body(c):
+        s = c[:8]
+        for _ in range(UNROLL):
+            s = sub_sample(s)
+        return s + (c[8] + UNROLL,)
 
     c_f = jax.lax.while_loop(cond, body, carry0)
     physical_opacity = 1.0 - c_f[1]

@@ -102,8 +102,18 @@ def record_scaling(scene, rows, cols, device_counts, path, repeats: int = 2):
     them (VERDICT r1 weak #7). Returns the written dict."""
     import json
 
+    import subprocess
+
     rates, eff = measure_scaling(scene, rows, cols, device_counts, repeats=repeats)
+    try:
+        commit = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+    except Exception:
+        commit = "unknown"
     out = {
+        "commit": commit,  # provenance: must postdate the driver it measures
         "backend": jax.default_backend(),
         "n_devices": sorted(rates),
         "rays_per_s": {str(n): rates[n] for n in sorted(rates)},
@@ -111,7 +121,12 @@ def record_scaling(scene, rows, cols, device_counts, path, repeats: int = 2):
         "workload": {"rows": rows, "cols": cols, "max_steps": int(scene.integration.max_steps)},
         "note": (
             "virtual CPU meshes validate the shard_map mechanism, not ICI "
-            "bandwidth; the >=85% target applies to real multi-chip runs"
+            "bandwidth; the >=85% target applies to real multi-chip runs. "
+            "Virtual devices SHARE the host's cores (XLA already "
+            "multithreads the 1-device run), so efficiency-vs-linear is "
+            "structurally sub-linear here — any speedup at all shows the "
+            "sharded dispatch works; per-device isolation exists only on "
+            "real chips"
         ),
     }
     with open(path, "w") as f:

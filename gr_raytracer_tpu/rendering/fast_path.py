@@ -401,6 +401,67 @@ def trace_rays_fast(scene, positions, momenta, interpret: bool = False, spec=Non
     )
 
 
+def supports_diff(scene) -> bool:
+    """Kernel-VJP coverage (ops/geodesic_adjoint.py): Kerr (Kerr-Schild)
+    with thin discs only, every texture statically opaque (slot-0 shading is
+    then exact, so the adjoint injects exactly one payload cotangent per
+    lane at its stop step). Everything else keeps the lax
+    `differentiable=True` path."""
+    from gr_raytracer_tpu.geometry.kerr import Kerr
+
+    return (
+        isinstance(scene.geometry, Kerr)
+        and bool(scene.objects)
+        and all(isinstance(o, Disc) for o in scene.objects)
+        and scene_kernel_spec(scene).opaque
+    )
+
+
+def trace_rays_fast_diff(
+    scene, positions, momenta, interpret: bool = False, spec=None, k_ckpt=None
+):
+    """Differentiable drop-in for trace_rays on supports_diff scenes: the
+    forward is the production KS Pallas march (+ checkpoints), the backward
+    an in-kernel checkpointed reverse sweep — reverse mode at kernel speed
+    instead of the ~35× lax-scan penalty (r3 verdict item 1).
+
+    Gradients flow through the final state (celestial shading) and the
+    slot-0 event payload (disc shading: hit point, interpolated momentum,
+    UV); ∂/∂radius and ∂/∂a additionally flow through every step of the
+    march. Discrete decisions (stop codes, which step crossed, the cost
+    sort) are locally constant — the same convention as the lax path's
+    where-masks. The kernel's disc bounds are static (baked from the
+    concrete scene), so UV cotangents use frozen bounds — irrelevant for
+    blackbody discs (their texture ignores UV; temperature gradients flow
+    through the hit POINT, which is fully differentiated)."""
+    from gr_raytracer_tpu.ops import geodesic_adjoint as gadj
+
+    if spec is None:
+        if not supports_diff(scene):
+            raise ValueError("scene shape unsupported by the kernel-VJP path")
+        spec = scene_kernel_spec(scene)
+    n = positions.shape[0]
+    march_geometry, solver, y0, freq, inverse = _prepare_march(scene, positions, momenta)
+    cfg = scene.integration
+    march = gadj.make_ks_march_diff(
+        h0=1.0,
+        max_steps=cfg.max_steps,
+        discs=spec.discs,
+        r_safe=spec.r_safe,
+        interpret=interpret,
+        **({"k_ckpt": k_ckpt} if k_ckpt else {}),
+    )
+    y_f, ev_data, stop, steps, ev_kind, ev_count, ev_ovf = march(
+        march_geometry.radius,
+        march_geometry.a,
+        march_geometry.horizon_epsilon,
+        cfg.max_radius,
+        y0,
+    )
+    res = _state_to_result((y_f, stop, steps, ev_kind, ev_data, ev_count, ev_ovf))
+    return _finish_samples(scene, res, freq, solver, inverse, n, first_event_only=True)
+
+
 def trace_geometric_fast(scene, positions, momenta, interpret: bool = False, spec=None):
     """Kernel-backed scene.trace_geometric: integration + event detection +
     surface/celestial shading WITHOUT volumetric raymarching. The driver's

@@ -729,6 +729,7 @@ def render_section(
     mesh=None,
     checkpoint_path: Optional[str] = None,
     checkpoint_key: str = "",
+    halo: bool = False,
 ) -> RenderOutput:
     """Render a section [from_row, to_row) × [from_col, to_col) of the camera
     grid, with the scene's adaptive supersampling (raytracer.rs:460-497).
@@ -739,7 +740,18 @@ def render_section(
     With checkpoint_path set, each pass saves completed chunks to
     `<path>.pass1.npz` / `<path>.aa.npz` and resumes from them; pass
     `checkpoint_key` encoding the scene/options so stale files are ignored.
-    The caller removes the files after a successful save (see cli.cmd_render)."""
+    The caller removes the files after a successful save (see cli.cmd_render).
+
+    halo=True: seam-free sectioned AA — beyond the reference, whose section
+    renders keep a documented 1-px seam because the 8-neighbor contrast
+    stencil can't see across the crop edge (raytracer.rs:413-421). The
+    first pass traces one extra pixel ring around the section (clipped to
+    the camera grid), the stencil runs on the padded buffer, and the halo is
+    discarded — section AA selection becomes identical to the full frame's,
+    so stitched sections are bit-exact against the single-frame render
+    whenever the luminance floor is explicit (cfg.minimum_luminance; a
+    percentile floor is inherently frame-global — the reference documents
+    the same caveat, configuration.rs:30-36)."""
     camera = scene.camera
     to_row = camera.rows if to_row is None else to_row
     to_col = camera.columns if to_col is None else to_col
@@ -750,29 +762,52 @@ def render_section(
         else None
     )
 
+    cfg = scene.adaptive
+    aa_active = cfg.enabled or sampling_mask_color is not None
+    # Halo bounds (clipped at the camera grid — frame-edge pixels see
+    # exactly the edge, matching the full-frame stencil there).
+    use_halo = halo and aa_active
+    hf_row = max(from_row - 1, 0) if use_halo else from_row
+    hf_col = max(from_col - 1, 0) if use_halo else from_col
+    ht_row = min(to_row + 1, camera.rows) if use_halo else to_row
+    ht_col = min(to_col + 1, camera.columns) if use_halo else to_col
+    hh, hw = ht_row - hf_row, ht_col - hf_col
+
     rr, cc = np.meshgrid(
-        np.arange(from_row, to_row, dtype=np.float64),
-        np.arange(from_col, to_col, dtype=np.float64),
+        np.arange(hf_row, ht_row, dtype=np.float64),
+        np.arange(hf_col, ht_col, dtype=np.float64),
         indexing="ij",
     )
     colors, classes, _ = trace_pixels_chunked(
         scene, rr.ravel(), cc.ravel(), chunk_size, progress, mesh=mesh,
         checkpoint=ckpt("pass1"),
     )
-    colors = colors.reshape(h, w, 4)
-    classes = classes.reshape(h, w)
+    colors = colors.reshape(hh, hw, 4)
+    classes = classes.reshape(hh, hw)
+    # Interior slice of the (possibly padded) buffer.
+    ir = slice(from_row - hf_row, from_row - hf_row + h)
+    ic = slice(from_col - hf_col, from_col - hf_col + w)
 
     if scene.save_ray_data:
-        _save_ray_data_csvs(scene, rr.ravel(), cc.ravel())
+        rr_i, cc_i = np.meshgrid(
+            np.arange(from_row, to_row, dtype=np.float64),
+            np.arange(from_col, to_col, dtype=np.float64),
+            indexing="ij",
+        )
+        _save_ray_data_csvs(scene, rr_i.ravel(), cc_i.ravel())
 
-    cfg = scene.adaptive
-    if not (cfg.enabled or sampling_mask_color is not None):
+    if not aa_active:
         return RenderOutput(colors, classes, None)
 
     minimum_luminance = resolve_minimum_luminance(cfg, colors[..., 1])
     mask = collect_supersample_mask(
         cfg, colors[..., 1], colors[..., 3], classes, minimum_luminance
     )
+    # Discard the halo: AA re-traces interior pixels only, with the mask
+    # decided exactly as the full frame would.
+    colors = colors[ir, ic]
+    classes = classes[ir, ic]
+    mask = mask[ir, ic]
 
     if sampling_mask_color is not None:
         out = colors.copy()

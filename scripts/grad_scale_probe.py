@@ -42,22 +42,42 @@ from gr_raytracer_tpu.rendering import camera as cam
 from gr_raytracer_tpu.rendering import scene as scn
 
 
-def make_loss(rows, cols, max_steps, checkpoint_block, dtype):
+def make_loss(rows, cols, max_steps, checkpoint_block, dtype, kernel=False):
+    """kernel=True: reverse mode through the Pallas march custom VJP
+    (ops/geodesic_adjoint.py) instead of the lax checkpointed scan."""
     rr, cc = jnp.meshgrid(
         jnp.arange(rows, dtype=dtype), jnp.arange(cols, dtype=dtype), indexing="ij"
     )
     rf, cf = rr.ravel(), cc.ravel()
 
-    def render(params):
-        scene = presets.build_kerr_flagship(
-            params, rows, cols, max_steps=max_steps, max_radius=40.0,
-            step_size=0.05, differentiable=True,
+    if kernel:
+        from gr_raytracer_tpu.rendering import fast_path
+
+        base = presets.kerr_flagship_params(dtype)
+        spec = fast_path.scene_kernel_spec(
+            presets.build_kerr_flagship(base, rows, cols, max_steps=max_steps)
         )
-        scene = scene.replace(
-            integration=scene.integration.replace(checkpoint_block=checkpoint_block)
-        )
-        x, p = cam.pixel_rays(scene.camera, rf, cf)
-        return scn.trace_rays(scene, x, p).color
+
+        def render(params):
+            scene = presets.build_kerr_flagship(
+                params, rows, cols, max_steps=max_steps, max_radius=40.0,
+                step_size=0.05,
+            )
+            x, p = cam.pixel_rays(scene.camera, rf, cf)
+            return fast_path.trace_rays_fast_diff(scene, x, p, spec=spec).color
+
+    else:
+
+        def render(params):
+            scene = presets.build_kerr_flagship(
+                params, rows, cols, max_steps=max_steps, max_radius=40.0,
+                step_size=0.05, differentiable=True,
+            )
+            scene = scene.replace(
+                integration=scene.integration.replace(checkpoint_block=checkpoint_block)
+            )
+            x, p = cam.pixel_rays(scene.camera, rf, cf)
+            return scn.trace_rays(scene, x, p).color
 
     def loss(params):
         c = render(params)[..., :3]
@@ -75,6 +95,9 @@ def main():
     ap.add_argument("--fit-steps", type=int, default=12)
     ap.add_argument("--fit-max-steps", type=int, default=2000)
     ap.add_argument("--no-fit", action="store_true")
+    ap.add_argument("--kernel", action="store_true",
+                    help="reverse mode through the Pallas-march custom VJP")
+    ap.add_argument("--out", default=None, help="output JSON path override")
     args = ap.parse_args()
 
     cfgmod.enable_host_cpu_platform()
@@ -85,11 +108,14 @@ def main():
         "dtype": str(dtype.__name__ if hasattr(dtype, "__name__") else dtype),
         "scale": f"{args.rows}x{args.cols} rays @ {args.steps}-step budget",
         "checkpoint_block": args.checkpoint_block,
+        "reverse_mode": "kernel-vjp" if args.kernel else "lax-checkpointed-scan",
     }
 
     # --- one production-scale gradient step --------------------------------
     params = presets.kerr_flagship_params(dtype)
-    _, loss = make_loss(args.rows, args.cols, args.steps, args.checkpoint_block, dtype)
+    _, loss = make_loss(
+        args.rows, args.cols, args.steps, args.checkpoint_block, dtype, kernel=args.kernel
+    )
     vg = jax.jit(jax.value_and_grad(loss))
     t0 = time.perf_counter()
     val, grads = jax.device_get(vg(params))
@@ -118,7 +144,8 @@ def main():
         # singularity and diverged).
         a_true, a_init = 0.45, 0.30
         render, _ = make_loss(
-            args.rows, args.cols, args.fit_max_steps, args.checkpoint_block, dtype
+            args.rows, args.cols, args.fit_max_steps, args.checkpoint_block, dtype,
+            kernel=args.kernel,
         )
         base = presets.kerr_flagship_params(dtype)
         target = jax.jit(render)(dict(base, a=jnp.asarray(a_true, dtype)))
@@ -147,7 +174,9 @@ def main():
         }
         print(f"[fit] {out['inverse_fit']}", flush=True)
 
-    path = os.path.join(os.path.dirname(__file__), "..", "docs", "gradient_bench.json")
+    path = args.out or os.path.join(
+        os.path.dirname(__file__), "..", "docs", "gradient_bench.json"
+    )
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"wrote {path}")

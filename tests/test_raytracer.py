@@ -378,6 +378,47 @@ def test_overflow_beyond_retrace_capacity_keeps_truncated_fold(capfd):
     assert np.abs(rt._unwire(c_full) - rt._unwire(c32)).max() > 1e-6
 
 
+def test_halo_sections_match_full_frame_with_aa():
+    """Seam-free sectioned AA (beyond the reference, raytracer.rs:413-421):
+    sections rendered with halo=True and an explicit luminance floor must
+    stitch to the full-frame AA render bit for bit — the 1-px halo lets the
+    8-neighbor stencil decide section-edge pixels exactly as the full frame
+    does. The seam is real: without the halo the sections select a
+    different supersample mask."""
+    from gr_raytracer_tpu import presets
+
+    params = presets.kerr_flagship_params(jnp.float64)
+    scene = presets.build_kerr_flagship(
+        params, 16, 16, max_steps=1500, max_radius=25.0, step_size=0.05
+    )
+    scene = scene.replace(
+        adaptive=make_cfg(samples_per_axis=2, minimum_luminance=1e-6)
+    )
+    full = rt.render_section(scene, chunk_size=512)
+    assert full.supersample_mask.any()
+
+    top = rt.render_section(scene, to_row=8, halo=True, chunk_size=512)
+    bot = rt.render_section(scene, from_row=8, halo=True, chunk_size=512)
+    np.testing.assert_array_equal(
+        np.concatenate([top.supersample_mask, bot.supersample_mask], axis=0),
+        full.supersample_mask,
+    )
+    np.testing.assert_array_equal(
+        np.concatenate([top.color, bot.color], axis=0), full.color
+    )
+    np.testing.assert_array_equal(
+        np.concatenate([top.ray_class, bot.ray_class], axis=0), full.ray_class
+    )
+
+    # Control: the seam-y (reference-semantics) sections decide differently.
+    top_ns = rt.render_section(scene, to_row=8, chunk_size=512)
+    bot_ns = rt.render_section(scene, from_row=8, chunk_size=512)
+    seamed = np.concatenate([top_ns.supersample_mask, bot_ns.supersample_mask], axis=0)
+    assert (seamed != full.supersample_mask).any(), (
+        "no boundary contrast — the halo assertion above is vacuous"
+    )
+
+
 def test_below_isco_disc_hit_fails_pixel():
     """A disc reaching below r_isco reproduces the reference's BelowRISCO
     per-pixel error (temperature.rs:204-217): the ray fails, renders the
