@@ -63,7 +63,15 @@ def killing_coefficients(r_s, a, r):
     g_tt, g_tphi, g_phiphi = bl_metric_components(r_s, a, r)
     ut_pre = g_tt + 2.0 * omega * g_tphi + omega * omega * g_phiphi
     ok = ut_pre < 0.0
-    safe = jnp.where(ok, -ut_pre, 1.0)
+    # Clamp away from the marginal orbit (ut_pre → 0⁻): u_t = 1/√(−ut_pre)
+    # stays finite in f32 down to −ut_pre ~ 1e-38, but its DERIVATIVE
+    # ~ (−ut_pre)^{-3/2} overflows long before that — a disc sample landing
+    # within f32 noise of the marginal radius turned ∂shading/∂a into
+    # inf → NaN through the masked branch (the 256² joint-fit knife edge).
+    # Values are unchanged for any lane with −ut_pre > 1e-12 (u_t there is
+    # ≤ 1e6, i.e. already beyond any physical emitter the scenes shade);
+    # on the clamped side jnp.maximum routes a zero derivative.
+    safe = jnp.where(ok, jnp.maximum(-ut_pre, 1e-12), 1.0)
     u_t = jnp.where(ok, 1.0 / jnp.sqrt(safe), 0.0)
     return u_t, omega * u_t, ok
 

@@ -35,6 +35,40 @@ def image_loss(rendered, target):
     return jnp.mean((log_radiance(rendered) - t) ** 2)
 
 
+def pyramid_image_loss(rows: int, cols: int, pools=(1, 4, 16)):
+    """Multiscale log-radiance loss for GEOMETRIC parameters (camera pose,
+    spin): the average of `image_loss` over avg-pooled copies of the image.
+
+    A pixelwise loss puts a misregistered start in a plateau — a 0.1-rad
+    camera-tilt error displaces features by dozens of pixels at 256², so
+    every pixel compares unrelated content and the gradient points at
+    darkening, not aligning (the failure mode the joint 3-parameter fit hit:
+    disc temperature collapsed while tilt overshot). Pooling by p makes the
+    same displacement ~p× smaller in pooled pixels, restoring overlap and a
+    smooth descent direction; the fine level keeps sharp-feature sensitivity
+    once coarse levels have aligned the geometry. Use as
+    `fit(..., loss_fn=pyramid_image_loss(rows, cols))` on [rows·cols, 4]
+    buffers."""
+    pools = tuple(int(p) for p in pools)
+    for p in pools:
+        if rows % p or cols % p:
+            raise ValueError(f"pool {p} must divide image shape {rows}x{cols}")
+
+    def pooled(img, p):
+        if p == 1:
+            return img
+        return img.reshape(rows // p, p, cols // p, p, 3).mean(axis=(1, 3))
+
+    def loss(rendered, target):
+        r = log_radiance(rendered).reshape(rows, cols, 3)
+        t = target if target.shape[-1] == 3 else log_radiance(target)
+        t = t.reshape(rows, cols, 3)
+        terms = [jnp.mean((pooled(r, p) - pooled(t, p)) ** 2) for p in pools]
+        return sum(terms) / len(pools)
+
+    return loss
+
+
 def fit(
     render_fn: Callable,
     init_params: Mapping,

@@ -50,6 +50,13 @@ from gr_raytracer_tpu.ops import geodesic_pallas as gp
 from gr_raytracer_tpu.rendering import integrator as integ
 
 K_CKPT = 128  # steps per checkpoint segment (VMEM: K·8 tiles ≈ 4 MB)
+# Adjoint trust region (see bwd_body): λ beyond this is treated as diverged
+# and the lane retired from the parameter sums. Well-conditioned lanes stay
+# many orders below (loss-scale cotangents through O(1) step Jacobians);
+# diverged lanes cross any such bar within a few reverse steps of where
+# they'd hit f32 inf, so the exact value is immaterial — 1e15 leaves ~1e23
+# of f32 headroom for the per-block partial sums.
+LAM_CAP = 1e15
 
 
 def _masked_step(radius, a, h0, h_min_frac, r_ref_scale, r_safe, y, active):
@@ -89,7 +96,14 @@ def _disc_payload(discs, ev_kind0, y, y_new):
     geodesic_pallas._store_disc_events: [point3 | p_interp4 | uv2 | seg3].
     Multi-disc scenes select the per-disc UV bounds by the recorded kind."""
     z_prev, z_new = y[3], y_new[3]
-    frac = z_prev / (z_prev - z_new + jnp.where(z_prev == z_new, 1.0, 0.0))
+    # Denominator guard widened to |dz| >= 1e-12 (the kernel guards exact
+    # equality only): the VJP divides by dz², which f32 flushes to zero for
+    # |dz| < ~1e-19 — inf·0 = NaN through the masked branch. Genuine
+    # crossings have |dz| at the step scale, so the payload is unchanged
+    # wherever a cotangent is ever injected.
+    den_raw = z_prev - z_new
+    ok = jnp.abs(den_raw) >= 1e-12
+    frac = jnp.where(ok, z_prev, 0.0) / jnp.where(ok, den_raw, 1.0)
     px = y[1] + frac * (y_new[1] - y[1])
     py = y[2] + frac * (y_new[2] - y[2])
     rr = jnp.sqrt(jnp.maximum(px * px + py * py, 1e-30))
@@ -134,7 +148,7 @@ def _bwd_kernel(
     evkind_ref,   # (SUB, LANE) i32   — slot-0 object index
     param_ref,    # SMEM (8, 1): radius, a
     lam_ref,      # out (8, SUB, LANE) — λ carry; holds dL/dy0 after the sweep
-    dp_ref,       # out SMEM (1, 2)    — (dL/dradius, dL/da) block partials
+    dp_ref,       # out SMEM (1, 1, 2) — (dL/dradius, dL/da) block partials
     states,       # scratch (K, 8, SUB, LANE)
     *,
     n_seg: int,
@@ -157,8 +171,8 @@ def _bwd_kernel(
     @pl.when(j == 0)
     def _():
         lam_ref[:, :, :] = ct_y_ref[:, :, :]
-        dp_ref[0, 0] = jnp.zeros((), ct_y_ref.dtype)
-        dp_ref[0, 1] = jnp.zeros((), ct_y_ref.dtype)
+        dp_ref[0, 0, 0] = jnp.zeros((), ct_y_ref.dtype)
+        dp_ref[0, 0, 1] = jnp.zeros((), ct_y_ref.dtype)
 
     seg = n_seg - 1 - j
     seg_start = seg * k_ckpt
@@ -219,24 +233,52 @@ def _bwd_kernel(
                 _step_with_payload, discs, h0, h_min_frac, r_ref_scale, r_safe,
                 ev_kind0,
             )
-            _, vjp = jax.vjp(lambda r_, a_, y_: fn(r_, a_, y_, act), radius, a, y_eval)
+            # Differentiate w.r.t. BROADCAST parameter tiles, not scalars:
+            # jax.vjp of a scalar parameter returns the partial already
+            # summed over the tile, so ONE overflowed lane would poison the
+            # whole block's ∂radius/∂a (the NaN the 256² joint fit hit at a
+            # photon-ring graze). Per-lane partials can be masked first.
+            rv = jnp.full_like(y_eval[0], radius)
+            av = jnp.full_like(y_eval[0], a)
+            _, vjp = jax.vjp(lambda r_, a_, y_: fn(r_, a_, y_, act), rv, av, y_eval)
             stored = has_ev & (g == steps - 1) & act
             ct_payload = jnp.where(stored[None], ct_ev_ref[:, :, :], 0.0)
-            d_r, d_a, lam_new = vjp((lam, ct_payload))
+            d_r_l, d_a_l, lam_new = vjp((lam, ct_payload))
+            # Adjoint trust region: λ grows like the product of step
+            # Jacobians, and a near-critical (photon-ring) lane's Lyapunov
+            # growth overflows f32 after a few thousand reverse steps. A
+            # lane whose adjoint has left [-LAM_CAP, LAM_CAP] (or gone
+            # non-finite) carries no usable signal — its forward is chaotic
+            # beyond f32 — so retire it: zero its λ and this step's partials
+            # (λ = 0 keeps it silent for the rest of the sweep). Well-
+            # conditioned lanes never approach the cap (the FD-exactness
+            # tests pin them); the loss is a 10⁴-10⁵-lane average, so
+            # dropping a diverged lane perturbs the descent direction far
+            # less than letting ±inf swamp the sums.
+            trust = (
+                (jnp.abs(lam_new[0]) < LAM_CAP) & (jnp.abs(lam_new[1]) < LAM_CAP)
+                & (jnp.abs(lam_new[2]) < LAM_CAP) & (jnp.abs(lam_new[3]) < LAM_CAP)
+                & (jnp.abs(lam_new[4]) < LAM_CAP) & (jnp.abs(lam_new[5]) < LAM_CAP)
+                & (jnp.abs(lam_new[6]) < LAM_CAP) & (jnp.abs(lam_new[7]) < LAM_CAP)
+                & jnp.isfinite(d_r_l) & jnp.isfinite(d_a_l)
+            )
+            lam_new = jnp.where(trust[None], lam_new, 0.0)
+            d_r_l = jnp.where(trust, d_r_l, 0.0)
+            d_a_l = jnp.where(trust, d_a_l, 0.0)
             # Masked-out lanes (frozen, or NaN-excluded): the step is the
             # identity on y_eval inside the vjp'd function, so λ passes
             # through unchanged automatically — the benign substitution
             # happened OUTSIDE the differentiated function and never enters
             # the cotangent path.
-            return lam_new, dr + d_r, da + d_a
+            return lam_new, dr + jnp.sum(d_r_l), da + jnp.sum(d_a_l)
 
         lam0 = lam_ref[:, :, :]
         lam_f, dr_f, da_f = jax.lax.fori_loop(
             0, k_eff, bwd_body, (lam0, jnp.zeros((), lam0.dtype), jnp.zeros((), lam0.dtype))
         )
         lam_ref[:, :, :] = lam_f
-        dp_ref[0, 0] += dr_f
-        dp_ref[0, 1] += da_f
+        dp_ref[0, 0, 0] += dr_f
+        dp_ref[0, 0, 1] += da_f
 
 
 def make_ks_march_diff(
@@ -296,7 +338,13 @@ def make_ks_march_diff(
         dtype = ct_yf.dtype
         lane = gp.LANE
 
-        grad_ok = (stop != integ.NAN).astype(jnp.int32)
+        # Adjoint only where a cotangent can be structurally nonzero: escaped
+        # lanes (celestial shading reads y_f) and event lanes (disc shading
+        # reads the slot-0 payload). Captured/NaN/budget lanes shade as
+        # constant black — their cotangents are exact zeros through the fold's
+        # where-masks — and near-horizon step Jacobians overflow f32 (inf·0 =
+        # NaN would poison the parameter sums even under zero cotangents).
+        grad_ok = ((stop == integ.CELESTIAL) | (ev_count > 0)).astype(jnp.int32)
         has_ev = ((ev_count > 0) & (ev_kind[:, 0] >= 0)).astype(jnp.int32)
         ev_kind0 = jnp.maximum(ev_kind[:, 0], 0)
 
@@ -337,11 +385,13 @@ def make_ks_march_diff(
             ],
             out_specs=[
                 lane_block(8),
-                pl.BlockSpec((1, 2), lambda b, j: (b, 0), memory_space=pltpu.SMEM),
+                # 3-D so the LAST TWO block dims equal the array dims (the
+                # Mosaic tiling rule); dim 0 selects the block's row.
+                pl.BlockSpec((1, 1, 2), lambda b, j: (b, 0, 0), memory_space=pltpu.SMEM),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((8, n // lane, lane), dtype),
-                jax.ShapeDtypeStruct((n_blocks, 2), dtype),
+                jax.ShapeDtypeStruct((n_blocks, 1, 2), dtype),
             ],
             scratch_shapes=[pltpu.VMEM((k_ckpt, 8, gp.SUB, lane), dtype)],
             interpret=interpret,
@@ -356,8 +406,8 @@ def make_ks_march_diff(
             params,
         )
         d_y0 = lam.reshape(8, n).T
-        d_radius = jnp.sum(dp[:, 0]).astype(radius.dtype)
-        d_a = jnp.sum(dp[:, 1]).astype(a.dtype)
+        d_radius = jnp.sum(dp[:, 0, 0]).astype(radius.dtype)
+        d_a = jnp.sum(dp[:, 0, 1]).astype(a.dtype)
         return (d_radius, d_a, jnp.zeros_like(radius), jnp.zeros_like(radius), d_y0)
 
     march.defvjp(march_fwd, march_bwd)

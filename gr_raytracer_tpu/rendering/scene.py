@@ -193,8 +193,15 @@ def _celestial_color(scene, freq, solver, res):
 
     # Sanitize the whole state before raising the index: a NaN lane zeroed
     # elementwise would put its position at the origin, where the Kerr-Schild
-    # k-vector is 0/0. Park bad lanes at a safe far-field state instead.
-    state_ok = jnp.all(jnp.isfinite(res.y), axis=-1, keepdims=True)
+    # k-vector is 0/0. Park bad lanes at a safe far-field state — and park
+    # every NON-ESCAPED lane there too: only escaped lanes ever read this
+    # color, but a captured lane's final state can sit near the ring
+    # singularity (r → 0 inside the horizon, where KS ginv → inf − inf);
+    # its masked-out NaN/inf then leaks into ∂/∂a as 0·NaN through the
+    # where-chain (the 256² joint-fit knife edge). Masking the INPUT keeps
+    # both the value and every parameter cotangent finite.
+    escaped_m = res.stop_code == integ.CELESTIAL
+    state_ok = jnp.all(jnp.isfinite(res.y), axis=-1, keepdims=True) & escaped_m[:, None]
     safe_state = jnp.zeros_like(res.y).at[..., 1].set(100.0)
     y_safe = jnp.where(state_ok, res.y, safe_state)
     p_last = solver.momentum(y_safe)

@@ -5,6 +5,7 @@ Mirrors the reference's property tests (schwarzschild.rs:407-440,
 kerr.rs:527-587, kerr_bl.rs:633-686/1036-1124, gram_schmidt.rs:47-151,
 point.rs tests)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -485,3 +486,93 @@ def test_lorentz_transformed_tetrad_orthonormal(geometry, cart):
     np.testing.assert_allclose(np.asarray(boosted[0]), np.asarray(velocity), atol=1e-9)
     k = boosted[0] - boosted[3]
     np.testing.assert_allclose(float(geometry.inner_product(x, k, k)), 0.0, atol=1e-8)
+
+
+def test_killing_coefficients_grad_finite_near_marginal_orbit():
+    """∂u_t/∂a must stay finite arbitrarily close to the marginal orbit
+    (ut_pre → 0⁻): u_t = 1/√(−ut_pre) is finite there but its unclamped
+    derivative ~ (−ut_pre)^{-3/2} overflows f32 long before the value does —
+    the knife edge that NaN'd the 256² joint fit (circular_orbit.py clamp)."""
+    r_s, a = 1.0, 0.3513
+
+    def u_t_at(aa, r):
+        u_t, _, _ = circular_orbit.killing_coefficients(r_s, aa, r)
+        return jnp.sum(u_t)
+
+    def ut_pre(r):
+        omega = circular_orbit.angular_velocity(r_s, a, r)
+        g_tt, g_tphi, g_phiphi = circular_orbit.bl_metric_components(r_s, a, r)
+        return float(g_tt + 2.0 * omega * g_tphi + omega * omega * g_phiphi)
+
+    # Bisect (f64) a radius with −ut_pre ∈ (0, 1e-9): the derivative
+    # (−ut_pre)^{-3/2} is ≥ 1e13 per unit cotangent there and grows without
+    # bound toward the edge (past f32 max within its last few ulps of
+    # ut_pre); the clamp caps it at eps^{-3/2} = 1e18 and routes exact
+    # zeros on the clamped side. This pins finiteness on the steepest
+    # approach representable without engineering subnormal ut_pre values.
+    lo, hi = 1.0, 2.0
+    assert ut_pre(lo) > 0.0 > ut_pre(hi)
+    for _ in range(80):
+        mid = 0.5 * (lo + hi)
+        if ut_pre(mid) < 0.0:
+            hi = mid
+        else:
+            lo = mid
+    assert -1e-9 < ut_pre(hi) < 0.0
+    for dtype in (jnp.float64, jnp.float32):
+        for eps in (1e-3, 0.0, -1e-4):
+            g = jax.grad(u_t_at)(
+                jnp.asarray(a, dtype), jnp.asarray([hi + eps], dtype)
+            )
+            assert np.isfinite(float(g)), f"d(u_t)/da not finite at {dtype} eps={eps}"
+
+
+def test_celestial_color_grad_in_a_finite_with_ring_singularity_lane():
+    """∂(celestial color)/∂a must ignore captured lanes entirely: a captured
+    lane's final state near the Kerr ring singularity (BL r → 0) makes the
+    KS inverse metric inf − inf there, and before the input-side
+    sanitization in scene._celestial_color its masked NaN leaked into the
+    spin gradient as 0·NaN (the 256² joint-fit knife edge)."""
+    from gr_raytracer_tpu import presets
+    from gr_raytracer_tpu.rendering import integrator as integ
+    from gr_raytracer_tpu.rendering import scene as scn
+    from gr_raytracer_tpu.rendering.redshift import RayFrequencyData
+
+    dtype = jnp.float64
+    base = presets.kerr_flagship_params(dtype)
+    a0 = jnp.asarray(0.44, dtype)
+
+    n, k, w = 2, 1, 12
+    # Lane 0: escaped, far field. Lane 1: captured, parked ON the ring
+    # (rho = a, z = 0 → r = 0 exactly).
+    def color_sum(a):
+        scene = presets.build_kerr_flagship(dict(base, a=a), 4, 4, max_steps=100)
+        y = jnp.asarray(
+            [[0.0, 30.0, 4.0, 3.0, 1.0, -1.0, 0.1, 0.05],
+             [0.0, float(a0), 0.0, 0.0, 1.0, -5.0, 3.0, 0.5]], dtype
+        )
+        res = integ.IntegrationResult(
+            y=y,
+            affine=jnp.zeros((n,), dtype),
+            steps=jnp.asarray([40, 90], jnp.int32),
+            stop_code=jnp.asarray([integ.CELESTIAL, integ.HORIZON], jnp.int32),
+            ev_kind=jnp.full((n, k), -1, jnp.int32),
+            ev_data=jnp.zeros((n, k, w), dtype),
+            ev_count=jnp.zeros((n,), jnp.int32),
+            ev_overflow=jnp.zeros((n,), jnp.bool_),
+            kk_drift=jnp.zeros((n,), dtype),
+            const_drift=jnp.zeros((n, 0), dtype),
+            h=jnp.zeros((n,), dtype),
+            retries=jnp.zeros((n,), jnp.int32),
+        )
+        freq = RayFrequencyData(
+            observer_energy=jnp.ones((n,), dtype),
+            p_t=jnp.full((n,), -1.0, dtype),
+            p_phi=jnp.full((n,), 0.1, dtype),
+        )
+        solver = scene.geometry.make_solver(y[:, :4], y[:, 4:])
+        c = scn._celestial_color(scene, freq, solver, res)
+        return jnp.sum(c[..., :3])
+
+    g = jax.grad(color_sum)(a0)
+    assert np.isfinite(float(g)), f"d(celestial)/da = {float(g)}"

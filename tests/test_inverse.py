@@ -97,3 +97,31 @@ def test_fit_joint_two_parameters(target):
     assert losses[-1] < losses[0]
     assert abs(float(fitted["a"]) - A_TRUE) < abs(A_INIT - A_TRUE)
     assert abs(float(fitted["disc_temperature"]) - t_true) < 0.3 * t_true
+
+
+def test_pyramid_image_loss_basics(target):
+    """pyramid_image_loss: zero at the target, positive off it, equals
+    image_loss at pools=(1,), and rejects non-dividing pools."""
+    loss1 = inverse.pyramid_image_loss(ROWS, COLS, (1,))
+    lossp = inverse.pyramid_image_loss(ROWS, COLS, (1, 2, 4))
+    assert float(lossp(target, target)) == 0.0
+    shifted = target.at[..., :3].add(0.25)
+    assert float(lossp(shifted, target)) > 0.0
+    np.testing.assert_allclose(
+        float(loss1(shifted, target)), float(inverse.image_loss(shifted, target)),
+        rtol=1e-6,
+    )
+    with pytest.raises(ValueError, match="must divide"):
+        inverse.pyramid_image_loss(ROWS, COLS, (3,))
+
+
+def test_pyramid_loss_pooling_widens_basin(target):
+    """A coarse pooled level must dominate the fine level's value for a
+    misregistered copy of the SAME image (the property the 256² joint fit
+    relies on): rolling the target by 2 px changes pooled-16 content far
+    less than pixel content."""
+    img = jnp.asarray(np.asarray(target).reshape(ROWS, COLS, 4))
+    rolled = jnp.roll(img, 2, axis=1).reshape(ROWS * COLS, 4)
+    fine = inverse.pyramid_image_loss(ROWS, COLS, (1,))
+    coarse = inverse.pyramid_image_loss(ROWS, COLS, (4,))
+    assert float(coarse(rolled, target)) < float(fine(rolled, target))
