@@ -505,6 +505,7 @@ def _march_kernel(
     opaque_stop: bool = False,
     finalize: bool = True,
     ckpt_every: int = 0,
+    compensated: bool = False,
 ):
     radius = param_ref[0, 0]
     a = param_ref[1, 0]
@@ -530,10 +531,11 @@ def _march_kernel(
         meta_in_ref[:, :, :],
         ev_in_ref[:, :, :],
         jnp.zeros((), jnp.int32),  # iteration within THIS phase
+        jnp.zeros_like(y0),  # Kahan compensation (unused unless compensated)
     )
 
     def cond(c):
-        _, _, meta, _, it = c
+        meta, it = c[2], c[4]
         return jnp.logical_and(
             jnp.any(meta[META_STOP] == integ.RUNNING), it < attempts
         )
@@ -541,7 +543,7 @@ def _march_kernel(
     ckpt_ref = maybe_ckpt[0] if maybe_ckpt else None
 
     def body(c):
-        y, r_here, meta, ev_data, it = c
+        y, r_here, meta, ev_data, it, comp = c
         stop = meta[META_STOP]
         steps = meta[META_STEPS]
         ev_count = meta[META_COUNT]
@@ -591,8 +593,20 @@ def _march_kernel(
         k2 = _rhs(radius, a, y + 0.5 * h * k1)
         k3 = _rhs(radius, a, y + 0.5 * h * k2)
         k4 = _rhs(radius, a, y + h * k3)
-        y_new = y + (h / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
-        y_new = jnp.where(active[None, :], y_new, y)
+        delta = (h / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+        if compensated:
+            # Kahan accumulation of y += delta: removes the O(√N·eps·|y|)
+            # random-walk summation rounding over deep (1e6-step) marches.
+            # The remaining drift is the f32 rounding inside the RHS evals,
+            # which no summation scheme can touch. Enabled by the driver for
+            # deep budgets (fast_path.DEEP_BUDGET_COMPENSATION).
+            adj = delta - comp
+            t_sum = y + adj
+            comp_new = (t_sum - y) - adj
+            y_new = jnp.where(active[None, :], t_sum, y)
+            comp = jnp.where(active[None, :], comp_new, comp)
+        else:
+            y_new = jnp.where(active[None, :], y + delta, y)
 
         # --- stop determination (priority per integrator.rs:203-268) -----
         pos_finite = (
@@ -730,9 +744,9 @@ def _march_kernel(
         # Frozen lanes keep their carried radius consistent with their
         # (unchanged) state.
         r_carry = jnp.where(active, r_new, r_here)
-        return (y_new, r_carry, meta_new, ev_data, it + 1)
+        return (y_new, r_carry, meta_new, ev_data, it + 1, comp)
 
-    y_f, _, meta_f, ev_data_f, _ = jax.lax.while_loop(cond, body, carry0)
+    y_f, _, meta_f, ev_data_f, _, _ = jax.lax.while_loop(cond, body, carry0)
     if finalize:
         stop_f = jnp.where(
             meta_f[META_STOP] == integ.RUNNING, integ.BUDGET, meta_f[META_STOP]
@@ -793,6 +807,7 @@ def kerr_rk4_march(
     resume=None,
     finalize: bool = True,
     ckpt_every: int = 0,
+    compensated: bool = False,
 ):
     """March N rays; returns an integrator.IntegrationResult-compatible
     tuple of numpy-friendly arrays (see integrator.py for field meaning).
@@ -855,6 +870,7 @@ def kerr_rk4_march(
         opaque_stop=bool(opaque_stop),
         finalize=bool(finalize),
         ckpt_every=int(ckpt_every),
+        compensated=bool(compensated),
     )
     out_specs = [
         lane_spec(8),
@@ -970,6 +986,7 @@ def _bl_march_kernel(
     vols: tuple = (),
     opaque_stop: bool = False,
     finalize: bool = True,
+    compensated: bool = False,
 ):
     radius = param_ref[0, 0]
     a = param_ref[1, 0]
@@ -999,16 +1016,17 @@ def _bl_march_kernel(
         meta_in_ref[:, :, :],
         ev_in_ref[:, :, :],
         jnp.zeros((), jnp.int32),  # iteration within THIS phase
+        jnp.zeros_like(y0),  # Kahan compensation (unused unless compensated)
     )
 
     def cond(c):
-        _, meta, _, it = c
+        meta, it = c[1], c[3]
         return jnp.logical_and(
             jnp.any(meta[META_STOP] == integ.RUNNING), it < attempts
         )
 
     def body(c):
-        y, meta, ev_data, it = c
+        y, meta, ev_data, it, comp = c
         stop = meta[META_STOP]
         steps = meta[META_STEPS]
         ev_count = meta[META_COUNT]
@@ -1034,8 +1052,18 @@ def _bl_march_kernel(
         k2 = _bl_rhs(radius, a, e, l_z, q, y + 0.5 * h * k1)
         k3 = _bl_rhs(radius, a, e, l_z, q, y + 0.5 * h * k2)
         k4 = _bl_rhs(radius, a, e, l_z, q, y + h * k3)
-        y_new = y + (h / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
-        y_new = jnp.where(active[None, :], y_new, y)
+        delta = (h / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+        if compensated:
+            # Kahan accumulation (see the KS kernel) — covers the v_r/v_θ
+            # Mino quadratures whose deep-march drift the r3 accuracy run
+            # flagged (docs/fastpath_accuracy_tpu.md BL tables).
+            adj = delta - comp
+            t_sum = y + adj
+            comp_new = (t_sum - y) - adj
+            y_new = jnp.where(active[None, :], t_sum, y)
+            comp = jnp.where(active[None, :], comp_new, comp)
+        else:
+            y_new = jnp.where(active[None, :], y + delta, y)
 
         pos_finite = (
             jnp.isfinite(y_new[0])
@@ -1181,9 +1209,9 @@ def _bl_march_kernel(
             ],
             axis=0,
         )
-        return (y_new, meta_new, ev_data, it + 1)
+        return (y_new, meta_new, ev_data, it + 1, comp)
 
-    y_f, meta_f, ev_data_f, _ = jax.lax.while_loop(cond, body, carry0)
+    y_f, meta_f, ev_data_f, _, _ = jax.lax.while_loop(cond, body, carry0)
     if finalize:
         stop_f = jnp.where(
             meta_f[META_STOP] == integ.RUNNING, integ.BUDGET, meta_f[META_STOP]
@@ -1215,6 +1243,7 @@ def kerr_bl_rk4_march(
     attempts: int | None = None,
     resume=None,
     finalize: bool = True,
+    compensated: bool = False,
 ):
     """Carter-separated Mino-time RK4 march (the reference's fast geometry,
     ~8-9× cheaper RHS than the KS Hamiltonian). attempts/resume/finalize:
@@ -1261,6 +1290,7 @@ def kerr_bl_rk4_march(
         vols=tuple(vols),
         opaque_stop=bool(opaque_stop),
         finalize=bool(finalize),
+        compensated=bool(compensated),
     )
     y_f, meta, ev_data = pl.pallas_call(
         kernel,

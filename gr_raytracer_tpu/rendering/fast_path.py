@@ -232,6 +232,18 @@ def _prepare_march(scene, positions, momenta):
     return march_geometry, solver, y0, freq, inverse
 
 
+# Deep budgets get compensated (Kahan) state accumulation: the r3 accuracy
+# run showed escaped-lane L_z/Q drift above the reference's 1e-4 warn bar at
+# the 1e6-step hero budget, dominated by the y += delta summation random
+# walk (docs/fastpath_accuracy_tpu.md). At ≥ this budget the ~3% step cost
+# is noise next to the march; below it the drift never approaches the bar.
+# (GR_COMPENSATED=0/1 forces either mode. A checkpoint/resume march resets
+# the compensation term at the leg boundary — one extra ulp of summation
+# error per leg, far below the drift this removes; the bit-identical
+# two-leg resume tests run below this threshold, where compensation is off.)
+DEEP_BUDGET_COMPENSATION = 100_000
+
+
 def _run_kernel(
     march_geometry,
     cfg,
@@ -252,6 +264,14 @@ def _run_kernel(
     horizon shrink governs accuracy; h0 = H_MAX quarters the step count at
     unchanged stop/color parity (see docs/fastpath_accuracy.md h0 sweep:
     0.993 agreement, identical color error at h0 = 1.0 vs 0.25)."""
+    import os
+
+    comp_env = os.environ.get("GR_COMPENSATED")
+    compensated = (
+        comp_env == "1"
+        if comp_env in ("0", "1")
+        else cfg.max_steps >= DEEP_BUDGET_COMPENSATION
+    )
     if isinstance(march_geometry, KerrBL):
         # Mino-time: far-field spatial step ≈ h0·r_ref² = 1.0 at h0 = 0.01.
         # Budget 2×: the fixed Mino step is finer than RKF45's accepted
@@ -279,6 +299,7 @@ def _run_kernel(
             attempts=attempts,
             resume=resume,
             finalize=finalize,
+            compensated=compensated,
         )
     return gp.kerr_rk4_march(
         march_geometry.radius,
@@ -297,6 +318,7 @@ def _run_kernel(
         attempts=attempts,
         resume=resume,
         finalize=finalize,
+        compensated=compensated,
     )
 
 

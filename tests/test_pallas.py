@@ -643,6 +643,34 @@ def test_kernel_multi_crossing_event_buffer():
     assert np.median(err.max(axis=-1)) < 0.05
 
 
+def test_compensated_march_matches_plain():
+    """Kahan-compensated state accumulation (the deep-budget drift
+    mitigation, fast_path.DEEP_BUDGET_COMPENSATION) must reproduce the
+    plain march: identical stop codes/steps/events, states equal to f32
+    summation noise — at short budgets the compensation is pure rounding
+    bookkeeping, not a different integrator."""
+    scene, x, p = flagship(8, 16)
+    spec = fast_path.scene_kernel_spec(scene)
+    geo, solver, y0, _, _ = fast_path._prepare_march(scene, x, p)
+    cfg = scene.integration
+    kw = dict(
+        h0=1.0, max_steps=cfg.max_steps, max_radius=cfg.max_radius,
+        discs=spec.discs, r_safe=spec.r_safe, opaque_stop=spec.opaque,
+        interpret=True,
+    )
+    plain = gp.kerr_rk4_march(geo.radius, geo.a, geo.horizon_epsilon, y0, **kw)
+    comp = gp.kerr_rk4_march(
+        geo.radius, geo.a, geo.horizon_epsilon, y0, compensated=True, **kw
+    )
+    np.testing.assert_array_equal(np.asarray(plain[1]), np.asarray(comp[1]))  # stop
+    np.testing.assert_array_equal(np.asarray(plain[2]), np.asarray(comp[2]))  # steps
+    np.testing.assert_array_equal(np.asarray(plain[3]), np.asarray(comp[3]))  # kinds
+    finite = np.isfinite(np.asarray(plain[0]))
+    np.testing.assert_allclose(
+        np.asarray(comp[0])[finite], np.asarray(plain[0])[finite], rtol=1e-4, atol=1e-4
+    )
+
+
 def test_analytic_rhs_matches_autodiff():
     """The hand-derived Kerr-Schild ∂H/∂x in gp._rhs must match the jax.grad
     specification (gp._rhs_autodiff) to f64 roundoff at random states."""
