@@ -95,6 +95,25 @@ def test_parse_rejects_unknown_geometry():
         cfgmod.parse_config("[geometry_type.Minkowski]")
 
 
+def test_adaptive_sampling_boundary_and_partial_values():
+    """Boundary threshold values (0 and 1) parse and validate; a partial
+    adaptive_sampling block keeps defaults for the unspecified fields
+    (configuration.rs adaptive_sampling_accepts_boundary_values /
+    _partial_config_uses_defaults)."""
+    cfg = cfgmod.parse_config(
+        "[geometry_type.Euclidean]\n[adaptive_sampling]\n"
+        "luminance_contrast_threshold = 0.0\nopacity_contrast_threshold = 1.0\n"
+        "object_hit_opacity_threshold = 1.0\n"
+    )
+    a = cfg.adaptive_sampling
+    assert a.luminance_contrast_threshold == 0.0
+    assert a.opacity_contrast_threshold == 1.0
+    assert a.object_hit_opacity_threshold == 1.0
+    # Unspecified fields keep the reference defaults.
+    assert a.enabled and a.samples_per_axis == 4
+    assert a.exclude_background_contrast
+
+
 def test_parse_rejects_bad_adaptive_sampling():
     bad = "[geometry_type.Euclidean]\n[adaptive_sampling]\nsamples_per_axis = 0\n"
     with pytest.raises(cfgmod.ConfigError, match="samples_per_axis"):
