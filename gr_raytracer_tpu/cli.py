@@ -14,6 +14,7 @@ index, t the affine parameter, and (tau, x, y, z) the Cartesian 4-position.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -152,6 +153,21 @@ def _floats(s: str, n: int, what: str):
 
 def _setup_dtype(args):
     import jax
+
+    # Persistent compile cache: a full render compiles a handful of >30 s
+    # kernels (geo pass, compact wire, raymarch batches); without a disk
+    # cache every CLI invocation repays them. GR_JAX_CACHE=0 disables;
+    # any other value overrides the location.
+    cache = os.environ.get(
+        "GR_JAX_CACHE", os.path.expanduser("~/.cache/gr_raytracer_tpu/jax")
+    )
+    if cache != "0":
+        try:
+            os.makedirs(cache, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass
 
     if args.f64:
         jax.config.update("jax_platforms", "cpu")

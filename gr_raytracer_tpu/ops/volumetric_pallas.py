@@ -325,7 +325,16 @@ def march_length(obj, ro, rd, exit_d):
     d_budget = float(obj.max_steps) * d_s
     d_lo = np.maximum(np.maximum(h_lo, r_lo), 0.0)
     d_hi = np.minimum(np.minimum(h_hi, r_hi) + d_s, np.minimum(exit_d, d_budget))
-    return np.maximum(d_hi - d_lo, 0.0)
+    # Subtract the inner-hole crossing the kernel now jumps over (same
+    # quadratic with inner²) so the sort key tracks actual marched samples.
+    qc_i = qc + float(obj.outer_radius) ** 2 - float(obj.inner_radius) ** 2
+    qd_i = qb * qb - 4.0 * qa * qc_i
+    enters = (~degen) & (qd_i > 0.0)
+    sq_i = np.sqrt(np.maximum(qd_i, 0.0))
+    i_lo = np.where(enters, (-qb - sq_i) / (2.0 * safe_qa), big)
+    i_hi = np.where(enters, (-qb + sq_i) / (2.0 * safe_qa), -big)
+    hole = np.maximum(np.minimum(i_hi, d_hi) - np.maximum(i_lo, d_lo), 0.0)
+    return np.maximum(d_hi - d_lo - hole, 0.0)
 
 
 def supports(obj, geometry) -> bool:
@@ -569,6 +578,24 @@ def _march_kernel(in_ref, out_ref, *, spec: VolSpec):
     k0 = jnp.maximum(k0 - 1.0, 0.0)
     empty = (k0 * d_s >= d_hi) | ~active
 
+    # ---- Inner-hole skip (exact, same argument as the outer clip) --------
+    # density() is identically zero for r < inner too; the chord's crossing
+    # of the inner cylinder is one interval [i_lo, i_hi] of the SAME
+    # quadratic with inner² in place of outer². Jumping the sample index
+    # over it changes nothing (emission 0, attenuation exp(0) = 1) and, for
+    # a near-edge-on thin slab (hero #5: inner/outer = 4.05/16, chord
+    # through the hole ≈ 25% of the in-band length), cuts real samples.
+    # Shrunk one step per side so f32 edge rounding can only UNDER-skip;
+    # the exp(−1/(r−inner)²) boundary falloff makes those edge samples
+    # exact zeros anyway.
+    qc_i = qc + (spec.outer * spec.outer - spec.inner * spec.inner)
+    qd_i = qb * qb - 4.0 * qa * qc_i
+    enters_hole = (~degen) & (qd_i > 0.0)
+    sq_i = jnp.sqrt(jnp.maximum(qd_i, 0.0))
+    i_lo = jnp.where(enters_hole, (-qb - sq_i) / (2.0 * safe_qa) + d_s, big)
+    i_hi = jnp.where(enters_hole, (-qb + sq_i) / (2.0 * safe_qa) - d_s, -big)
+    k_hole_exit = jnp.ceil(i_hi / d_s)
+
     shape = rox.shape
     carry0 = (
         k0,  # sample index (d_o = k · d_s — index·step, no accumulation drift)
@@ -620,11 +647,22 @@ def _march_kernel(in_ref, out_ref, *, spec: VolSpec):
         a_w_sum = c_ws + jnp.clip(lalpha, 0.0, 1.0) * alpha_w
         a_w_tot = c_wt + alpha_w
 
+        # Inner-hole jump: if the NEXT sample lands inside the hole
+        # interval, skip straight to its exit index (every skipped sample
+        # is an exact zero — see the prologue derivation). The current
+        # sample was already evaluated normally.
+        k_next = k + 1.0
+        d_next = k_next * d_s
+        in_hole = (d_next >= i_lo) & (d_next < i_hi)
+        k_next = jnp.where(in_hole, jnp.maximum(k_hole_exit, k_next), k_next)
+
         # Saturation early-exit mirrors objects/volumetric_disc.py
         # SATURATION_EPS exactly (see the bound documented there).
         saturated = transparency < SATURATION_EPS
-        done = jnp.where((c_done > 0.5) | (d_o_new >= d_hi) | saturated, 1.0, 0.0)
-        k_keep = jnp.where(live, k + 1.0, k)
+        done = jnp.where(
+            (c_done > 0.5) | (k_next * d_s >= d_hi) | saturated, 1.0, 0.0
+        )
+        k_keep = jnp.where(live, k_next, k)
         return (k_keep, transparency, acc_x, acc_y, acc_z, a_w_sum, a_w_tot, done)
 
     def body(c):

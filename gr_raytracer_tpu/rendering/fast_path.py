@@ -514,6 +514,72 @@ def trace_geometric_fast(scene, positions, momenta, interpret: bool = False, spe
 # own for preemption-tolerant deep-budget renders.
 
 
+def make_fast_geo_compact_tracer(
+    concrete_scene, obj_index: int, bucket: int, interpret: bool = False
+):
+    """jitted (scene, row_f, col_f) -> compact volumetric-event wire.
+
+    The plain geometric pass ships the full GeoTrace over the tunnel —
+    ev_data [N, K, 12] + surface_colors [N, K, 4] + 5 per-ray scalars,
+    ~35 MB per 65k-ray chunk — of which a volumetric-only scene reads just
+    the (sparse) event lanes. On the tunneled chip that transfer, not the
+    march, dominated the hero #5 geometric pass (kernel compute for a 66k
+    sub-ray chunk is ~5 ms at the ALU ceiling vs ~1 s wall). This variant
+    compacts ON DEVICE: a stable argsort over the event mask gathers the
+    ≤bucket volumetric event slots to the front, packs exactly what the
+    raymarch batches need per lane (ro3 | rd3 | obs_e | p_t | p_phi |
+    exit_d — exit_distance is fused here too, saving its own dispatch),
+    and ships [bucket, 10] + int8 kinds/stops + the [N, 4] celestial:
+    ~4.6 MB. `count` > bucket means the chunk overflowed the compact wire
+    (caller falls back to the full-GeoTrace path)."""
+    import jax
+
+    from gr_raytracer_tpu.rendering import camera as cam
+
+    if not supports_scene(concrete_scene):
+        raise ValueError("scene shape unsupported by the pallas fast path")
+    spec = scene_kernel_spec(concrete_scene)
+
+    def body(scene, row_f, col_f):
+        x, p = cam.pixel_rays(scene.camera, row_f, col_f)
+        g = trace_geometric_fast(scene, x, p, interpret=interpret, spec=spec)
+        k_slots = g.ev_kind.shape[1]
+        flatm = (g.ev_kind == obj_index).reshape(-1)
+        order = jnp.argsort(~flatm, stable=True)[:bucket].astype(jnp.int32)
+        ev = g.ev_data.reshape(-1, g.ev_data.shape[-1])[order]
+        ray = order // k_slots
+        ro = ev[:, 0:3]
+        seg = ev[:, 9:12]
+        norm = jnp.maximum(
+            jnp.sqrt(jnp.sum(seg * seg, axis=-1, keepdims=True)), 1e-30
+        )
+        rd = seg / norm
+        ed = scene.objects[obj_index].exit_distance(ro, rd)
+        packed = jnp.concatenate(
+            [
+                ro,
+                rd,
+                g.observer_energy[ray][:, None],
+                g.p_t[ray][:, None],
+                g.p_phi[ray][:, None],
+                ed[:, None],
+            ],
+            axis=1,
+        )
+        count = flatm.sum().astype(jnp.int32)
+        return (
+            g.celestial,
+            g.ev_kind.astype(jnp.int8),
+            g.stop_code.astype(jnp.int8),
+            g.ev_overflow,
+            packed,
+            order,
+            count,
+        )
+
+    return jax.jit(body)
+
+
 def make_fast_geo_tracer(concrete_scene):
     """jitted (scene, row_f, col_f) -> GeoTrace with the kernel spec baked
     static (see make_fast_tracer). Unsharded only — the split path's

@@ -343,7 +343,17 @@ def _exit_distances(obj, ro, rd, put):
     return np.asarray(jax.device_get(_exit_distance_jit(obj, put(rop), put(rdp))))[:n]
 
 
-VOLUMETRIC_LANE_CHUNK = 4096
+# Compact-raymarch batch size. Each batch is one kernel dispatch + one
+# device_get, and on the tunneled chip a dispatch costs ~20-25 ms of pure
+# round-trip latency — at 4096 the hero frame's ~10M volumetric sub-ray
+# lanes cost ~2,500 dispatches ≈ 60 s of latency alone. 32768 (32 kernel
+# blocks) amortizes that 8× while keeping worst-case tail padding (the
+# last batch) small relative to any workload that has thousands of
+# volumetric lanes; tiny scenes pay one padded batch either way (the
+# kernel pads internally to 1024 anyway). Env knob for probes/A-Bs.
+VOLUMETRIC_LANE_CHUNK = int(
+    __import__("os").environ.get("GR_VOL_LANE_CHUNK", "32768")
+)
 
 _vol_specs: dict = {}
 
@@ -400,11 +410,124 @@ def _trace_chunk_geo_fast(scene, row_f, col_f):
     return entry[1](scene, row_f, col_f)
 
 
+_geo_compact_tracers: dict = {}
+
+
+def _trace_chunk_geo_fast_compact(scene, row_f, col_f, obj_index, bucket):
+    """Kernel geometric pass + on-device volumetric-event compaction (see
+    fast_path.make_fast_geo_compact_tracer; same cache discipline as
+    _trace_chunk_geo_fast)."""
+    from gr_raytracer_tpu.rendering import fast_path
+
+    key = (id(scene), obj_index, bucket)
+    entry = _geo_compact_tracers.get(key)
+    if entry is None or entry[0] is not scene:
+        if len(_geo_compact_tracers) > 8:
+            _geo_compact_tracers.clear()
+        entry = _geo_compact_tracers[key] = (
+            scene,
+            fast_path.make_fast_geo_compact_tracer(scene, obj_index, bucket),
+        )
+    return entry[1](scene, row_f, col_f)
+
+
+def _trace_chunk_split_compact(scene, rf, cf, vol_chunk, kernel):
+    """Compact-wire volumetric split chunk (single-volumetric-object scenes
+    on the kernel path): the geometric pass compacts its event lanes on
+    device and ships ~4.6 MB instead of the ~35 MB full GeoTrace — on the
+    tunneled chip the transfer, not compute, bound the hero frame. Returns
+    None if the chunk's events overflow the compact bucket (caller reruns
+    the full-wire path; only possible when rays average >1 crossing)."""
+    import contextlib
+
+    from gr_raytracer_tpu.ops import volumetric_pallas as vp
+
+    obj = scene.objects[0]
+    n = rf.size
+    # Bucket 2n: AA sub-ray chunks on the disc band average >1 crossing per
+    # lane (wound rays cross the slab twice-plus), and a count > bucket
+    # chunk pays the compact attempt AND the full-wire fallback. 2n covers
+    # every observed band chunk; the packed block is still ~7x under the
+    # full GeoTrace wire.
+    bucket = 2 * n
+    cel, kind8, stop8, ovf, packed, order, count = jax.device_get(
+        _trace_chunk_geo_fast_compact(scene, jnp.asarray(rf), jnp.asarray(cf), 0, bucket)
+    )
+    count = int(count)
+    if count > bucket:
+        return None
+    packed = np.asarray(packed)[:count]
+    order = np.asarray(order)[:count]
+    ro, rd = packed[:, 0:3], packed[:, 3:6]
+    obs, ptv, ppv, ed = packed[:, 6], packed[:, 7], packed[:, 8], packed[:, 9]
+    lane_order = np.argsort(vp.march_length(obj, ro, rd, ed))
+    ro, rd, obs, ptv, ppv, ed, order = (
+        a[lane_order] for a in (ro, rd, obs, ptv, ppv, ed, order)
+    )
+    k_slots = int(kind8.shape[1])
+    ev_colors = np.zeros((n, k_slots, 4), np.float32)
+    for start in range(0, count, vol_chunk):
+        end = min(start + vol_chunk, count)
+        m = end - start
+        pad = lambda a: np.concatenate(
+            [a[start:end], np.repeat(a[start : start + 1], vol_chunk - m, axis=0)]
+        )
+        active = np.zeros((vol_chunk,), bool)
+        active[:m] = True
+        out = jax.device_get(
+            kernel(
+                jnp.asarray(pad(ro)),
+                jnp.asarray(pad(rd)),
+                jnp.asarray(pad(obs)),
+                jnp.asarray(pad(ptv)),
+                jnp.asarray(pad(ppv)),
+                jnp.asarray(active),
+                jnp.asarray(np.where(active, pad(ed), 0.0)),
+            )
+        )
+        sl = order[start:end]
+        ev_colors[sl // k_slots, sl % k_slots] = out[:m]
+    kind = kind8.astype(np.int32)
+    stop = stop8.astype(np.int32)
+    # Fold on the host CPU backend when present (the CLI enables it): the
+    # inputs are host arrays and the fold is trivial arithmetic — a device
+    # fold would re-upload ev_colors (~8 MB/chunk) over the tunnel.
+    try:
+        cpu = jax.devices("cpu")[0]
+    except Exception:
+        cpu = None
+    ctx = jax.default_device(cpu) if cpu is not None else contextlib.nullcontext()
+    with ctx:
+        color, klass = scn.fold_samples(
+            scene,
+            jnp.asarray(kind),
+            jnp.asarray(ev_colors),
+            jnp.asarray(stop),
+            jnp.asarray(cel),
+        )
+        color, klass = np.asarray(color), np.asarray(klass)
+    return color, klass, stop, np.asarray(ovf)
+
+
 def _trace_chunk_split(scene, rf, cf, vol_chunk: int = VOLUMETRIC_LANE_CHUNK, put=jnp.asarray):
     """Volumetric split path: geometric pass on device, host-side compaction
     of the (sparse) volumetric event lanes, padded compact raymarch batches,
     then the exact fold. Marching only hit lanes instead of all N·K slots is
     a 10-100× saving (most rays never enter the disc)."""
+    # Single-volumetric-object scenes on the kernel path take the compact
+    # wire (events compacted on device; ~7x less tunnel transfer).
+    if (
+        os.environ.get("GR_COMPACT_WIRE", "1") != "0"
+        and put is jnp.asarray
+        and _use_fast_path(scene)
+        and len(scene.objects) == 1
+        and hasattr(scene.objects[0], "raymarch")
+    ):
+        _, kernel = _vol_kernel_fn(scene.objects[0], scene.geometry)
+        if kernel is not None:
+            out = _trace_chunk_split_compact(scene, rf, cf, vol_chunk, kernel)
+            if out is not None:
+                return out
     # The geometric pass rides the Pallas march kernel when the scene shape
     # qualifies (KS chart + z-axis bounding volumes); unsharded only — the
     # kernel has no GSPMD partitioning rule.

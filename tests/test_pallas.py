@@ -438,6 +438,61 @@ def test_volumetric_kernel_geometric_parity():
     assert np.all(np.asarray(geo.surface_colors)[vol_mask] == 0.0)
 
 
+def test_compact_wire_matches_geo_trace():
+    """The on-device compact volumetric-event wire
+    (fast_path.make_fast_geo_compact_tracer — the tunnel-transfer lever
+    behind the hero-#5 split driver) must carry exactly the full GeoTrace's
+    event lanes: same count, same (ray, slot) set, identical packed payloads
+    (ro | rd | obs_e | p_t | p_phi | exit_d), and value-identical
+    celestial/kind/stop/overflow after the int8 narrowing."""
+    from gr_raytracer_tpu import config as cfgmod
+
+    cfg = cfgmod.parse_config(KERR_VOLUMETRIC_SCENE)
+    opts = cfgmod.RenderOptions(
+        width=16, height=8, max_steps=4000, max_radius=30.0, step_size=0.05,
+        camera_position=(-12.0, 0.0, -1.5), theta=1.52, psi=-1.57,
+    )
+    scene = cfgmod.create_scene(cfg, opts)
+    spec = fast_path.scene_kernel_spec(scene)
+    rr, cc = np.meshgrid(np.arange(8.0), np.arange(16.0), indexing="ij")
+    rf, cf = jnp.asarray(rr.ravel()), jnp.asarray(cc.ravel())
+    x, p = cam.pixel_rays(scene.camera, rf, cf)
+    geo = fast_path.trace_geometric_fast(scene, x, p, interpret=True, spec=spec)
+
+    n = int(rf.shape[0])
+    tracer = fast_path.make_fast_geo_compact_tracer(scene, 0, 2 * n, interpret=True)
+    cel, kind8, stop8, ovf, packed, order, count = (
+        np.asarray(v) for v in tracer(scene, rf, cf)
+    )
+    count = int(count)
+    mask = np.asarray(geo.ev_kind) == 0
+    flat_idx = np.nonzero(mask.reshape(-1))[0]
+    assert count == flat_idx.size > 0
+    np.testing.assert_array_equal(np.sort(order[:count]), flat_idx)
+
+    k_slots = int(np.asarray(geo.ev_kind).shape[1])
+    nn, kk = order[:count] // k_slots, order[:count] % k_slots
+    ev = np.asarray(geo.ev_data)[nn, kk]
+    # Tight allclose, not equality: the tracer is jitted while the
+    # reference trace here is eager, and XLA's fusion choices differ at
+    # the last-ulp level between the two.
+    np.testing.assert_allclose(packed[:count, 0:3], ev[:, 0:3], rtol=1e-6, atol=1e-6)
+    seg = ev[:, 9:12]
+    rd = seg / np.maximum(np.linalg.norm(seg, axis=-1, keepdims=True), 1e-30)
+    np.testing.assert_allclose(packed[:count, 3:6], rd, atol=1e-5)
+    np.testing.assert_allclose(packed[:count, 6], np.asarray(geo.observer_energy)[nn], rtol=1e-6)
+    np.testing.assert_allclose(packed[:count, 7], np.asarray(geo.p_t)[nn], rtol=1e-6)
+    np.testing.assert_allclose(packed[:count, 8], np.asarray(geo.p_phi)[nn], rtol=1e-6)
+    ed_ref = np.asarray(scene.objects[0].exit_distance(
+        jnp.asarray(packed[:count, 0:3]), jnp.asarray(packed[:count, 3:6])))
+    np.testing.assert_allclose(packed[:count, 9], ed_ref, rtol=1e-5, atol=1e-5)
+
+    np.testing.assert_array_equal(kind8.astype(np.int32), np.asarray(geo.ev_kind))
+    np.testing.assert_array_equal(stop8.astype(np.int32), np.asarray(geo.stop_code))
+    np.testing.assert_array_equal(ovf, np.asarray(geo.ev_overflow))
+    np.testing.assert_allclose(cel, np.asarray(geo.celestial), rtol=1e-5, atol=1e-6)
+
+
 def test_bl_kernel_sphere_parity():
     """Spheres in the BL/Mino kernel via the per-step KS Cartesian embedding:
     parity vs the lax path on a Schwarzschild disc+sphere scene (the
