@@ -410,6 +410,21 @@ def _trace_chunk_geo_fast(scene, row_f, col_f):
     return entry[1](scene, row_f, col_f)
 
 
+def _compact_split_eligible(scene, put=jnp.asarray) -> bool:
+    """Compact-wire gate: kernel path, single volumetric object, its
+    raymarch kernel available, unsharded driver."""
+    if (
+        os.environ.get("GR_COMPACT_WIRE", "1") == "0"
+        or put is not jnp.asarray
+        or not _use_fast_path(scene)
+        or len(scene.objects) != 1
+        or not hasattr(scene.objects[0], "raymarch")
+    ):
+        return False
+    _, kernel = _vol_kernel_fn(scene.objects[0], scene.geometry)
+    return kernel is not None
+
+
 _geo_compact_tracers: dict = {}
 
 
@@ -431,30 +446,37 @@ def _trace_chunk_geo_fast_compact(scene, row_f, col_f, obj_index, bucket):
     return entry[1](scene, row_f, col_f)
 
 
-def _trace_chunk_split_compact(scene, rf, cf, vol_chunk, kernel):
-    """Compact-wire volumetric split chunk (single-volumetric-object scenes
-    on the kernel path): the geometric pass compacts its event lanes on
-    device and ships ~4.6 MB instead of the ~35 MB full GeoTrace — on the
-    tunneled chip the transfer, not compute, bound the hero frame. Returns
-    None if the chunk's events overflow the compact bucket (caller reruns
-    the full-wire path; only possible when rays average >1 crossing)."""
-    import contextlib
-
-    from gr_raytracer_tpu.ops import volumetric_pallas as vp
-
-    obj = scene.objects[0]
+def _trace_chunk_split_compact_start(scene, rf, cf):
+    """Dispatch the compact geometric pass for a chunk WITHOUT draining it.
+    Returns the in-flight device tuple; _trace_chunk_split_compact_finish
+    fetches and raymarches. Splitting dispatch from drain lets the chunked
+    driver enqueue chunk i+1's geometric march before doing chunk i's host
+    work (sort, raymarch batching, fold), so the device never idles on the
+    host between chunks."""
     n = rf.size
     # Bucket 2n: AA sub-ray chunks on the disc band average >1 crossing per
     # lane (wound rays cross the slab twice-plus), and a count > bucket
     # chunk pays the compact attempt AND the full-wire fallback. 2n covers
     # every observed band chunk; the packed block is still ~7x under the
     # full GeoTrace wire.
-    bucket = 2 * n
-    cel, kind8, stop8, ovf, packed, order, count = jax.device_get(
-        _trace_chunk_geo_fast_compact(scene, jnp.asarray(rf), jnp.asarray(cf), 0, bucket)
+    return _trace_chunk_geo_fast_compact(
+        scene, jnp.asarray(rf), jnp.asarray(cf), 0, 2 * n
     )
+
+
+def _trace_chunk_split_compact_finish(scene, n, futs, vol_chunk, kernel):
+    """Drain a dispatched compact chunk and raymarch its event lanes.
+    Returns None if the chunk's events overflow the compact bucket (caller
+    reruns the full-wire path; only possible when rays average >1
+    crossing)."""
+    import contextlib
+
+    from gr_raytracer_tpu.ops import volumetric_pallas as vp
+
+    obj = scene.objects[0]
+    cel, kind8, stop8, ovf, packed, order, count = jax.device_get(futs)
     count = int(count)
-    if count > bucket:
+    if count > 2 * n:
         return None
     packed = np.asarray(packed)[:count]
     order = np.asarray(order)[:count]
@@ -466,6 +488,9 @@ def _trace_chunk_split_compact(scene, rf, cf, vol_chunk, kernel):
     )
     k_slots = int(kind8.shape[1])
     ev_colors = np.zeros((n, k_slots, 4), np.float32)
+    # Dispatch every raymarch batch before fetching any: jax dispatch is
+    # async, so batch j+1 marches while batch j's results cross the tunnel.
+    batches = []
     for start in range(0, count, vol_chunk):
         end = min(start + vol_chunk, count)
         m = end - start
@@ -474,17 +499,24 @@ def _trace_chunk_split_compact(scene, rf, cf, vol_chunk, kernel):
         )
         active = np.zeros((vol_chunk,), bool)
         active[:m] = True
-        out = jax.device_get(
-            kernel(
-                jnp.asarray(pad(ro)),
-                jnp.asarray(pad(rd)),
-                jnp.asarray(pad(obs)),
-                jnp.asarray(pad(ptv)),
-                jnp.asarray(pad(ppv)),
-                jnp.asarray(active),
-                jnp.asarray(np.where(active, pad(ed), 0.0)),
+        batches.append(
+            (
+                start,
+                end,
+                m,
+                kernel(
+                    jnp.asarray(pad(ro)),
+                    jnp.asarray(pad(rd)),
+                    jnp.asarray(pad(obs)),
+                    jnp.asarray(pad(ptv)),
+                    jnp.asarray(pad(ppv)),
+                    jnp.asarray(active),
+                    jnp.asarray(np.where(active, pad(ed), 0.0)),
+                ),
             )
         )
+    for start, end, m, fut in batches:
+        out = jax.device_get(fut)
         sl = order[start:end]
         ev_colors[sl // k_slots, sl % k_slots] = out[:m]
     kind = kind8.astype(np.int32)
@@ -516,18 +548,12 @@ def _trace_chunk_split(scene, rf, cf, vol_chunk: int = VOLUMETRIC_LANE_CHUNK, pu
     a 10-100× saving (most rays never enter the disc)."""
     # Single-volumetric-object scenes on the kernel path take the compact
     # wire (events compacted on device; ~7x less tunnel transfer).
-    if (
-        os.environ.get("GR_COMPACT_WIRE", "1") != "0"
-        and put is jnp.asarray
-        and _use_fast_path(scene)
-        and len(scene.objects) == 1
-        and hasattr(scene.objects[0], "raymarch")
-    ):
+    if _compact_split_eligible(scene, put):
         _, kernel = _vol_kernel_fn(scene.objects[0], scene.geometry)
-        if kernel is not None:
-            out = _trace_chunk_split_compact(scene, rf, cf, vol_chunk, kernel)
-            if out is not None:
-                return out
+        futs = _trace_chunk_split_compact_start(scene, rf, cf)
+        out = _trace_chunk_split_compact_finish(scene, rf.size, futs, vol_chunk, kernel)
+        if out is not None:
+            return out
     # The geometric pass rides the Pallas march kernel when the scene shape
     # qualifies (KS chart + z-axis bounding volumes); unsharded only — the
     # kernel has no GSPMD partitioning rule.
@@ -796,10 +822,34 @@ def trace_pixels_chunked(
     # One-deep dispatch pipeline: the NEXT chunk is enqueued before the
     # current one is drained, so host-side work (numpy prep, overflow
     # re-trace, scatter) overlaps the device computing the next chunk.
-    # Only the single-dispatch paths pipeline; the requeue/split drivers
+    # The compact-wire split path pipelines its geometric pass the same
+    # way (chunk i+1's geo march is enqueued before chunk i's host work —
+    # sort, raymarch batching, fold — so the device never idles on the
+    # host between chunks); the full-wire split and requeue drivers
     # synchronize with the host between internal phases, so they drain
     # in-line.
+    compact_pipe = (
+        split
+        and os.environ.get("GR_COMPACT_PIPE", "1") != "0"
+        and _compact_split_eligible(scene, put)
+    )
+    kernel_c = _vol_kernel_fn(scene.objects[0], scene.geometry)[1] if compact_pipe else None
     pending = None
+    pending_c = None
+
+    def _drain_compact(chunk):
+        start, end, m, rf, cf, futs = chunk
+        out = _trace_chunk_split_compact_finish(
+            scene, rf.size, futs, VOLUMETRIC_LANE_CHUNK, kernel_c
+        )
+        if out is None:
+            # Compact bucket overflowed (rays averaged >2 crossings):
+            # rerun this chunk through _trace_chunk_split, which re-attempts
+            # compact and then takes the full wire — one wasted geo pass on
+            # a rare chunk.
+            out = _trace_chunk_split(scene, rf, cf, put=put)
+        _drain((start, end, m, rf, cf, out))
+
     for start in range(resume_at, n, chunk_size):
         end = min(start + chunk_size, n)
         m = end - start
@@ -807,6 +857,12 @@ def trace_pixels_chunked(
         cf = np.full((chunk_size,), col_f[0], dtype)
         rf[:m] = row_f[start:end]
         cf[:m] = col_f[start:end]
+        if compact_pipe:
+            nxt = (start, end, m, rf, cf, _trace_chunk_split_compact_start(scene, rf, cf))
+            if pending_c is not None:
+                _drain_compact(pending_c)
+            pending_c = nxt
+            continue
         if split or requeue:
             if pending is not None:
                 _drain(pending)
@@ -822,6 +878,8 @@ def trace_pixels_chunked(
         if pending is not None:
             _drain(pending)
         pending = nxt
+    if pending_c is not None:
+        _drain_compact(pending_c)
     if pending is not None:
         _drain(pending)
     if progress:
