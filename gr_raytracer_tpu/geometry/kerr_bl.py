@@ -12,6 +12,7 @@ reference (docs/example-render-commands.md:57-58) — the RHS is ~20 flops.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from gr_raytracer_tpu.geometry import chart as charts
@@ -26,6 +27,24 @@ from gr_raytracer_tpu.geometry.base import (
 
 # Floor for sin²θ in the Carter-constant axis guard (kerr_bl.rs:25-28).
 SIN2_FLOOR = 1e-28
+
+# Gradient floor for the launch-velocity square roots (see
+# _turning_safe_sqrt): camera rays launch AT a turning point of their
+# potential (R(r₀) = v_r² with v_r ≈ 0 for near-tangential pixels; in f32
+# the potential frequently rounds to exactly 0), where d√x → ∞.
+_POT_GRAD_FLOOR = 1e-9
+
+
+def _turning_safe_sqrt(pot):
+    """√(max(pot, 0)) with a BIT-EXACT forward and a gradient that vanishes
+    below _POT_GRAD_FLOOR. Above the floor `maximum` selects `pot`, so the
+    value and derivative are the plain √pot; at/below it the lane sits at
+    the potential's non-differentiable turning point — the derivative is
+    one-sided-infinite there (it overflowed the kernel-VJP chain into NaN
+    parameter gradients on chip), and zero is the defensible subgradient."""
+    val = jnp.sqrt(jnp.maximum(pot, 0.0))
+    capped = jnp.sqrt(jnp.maximum(pot, _POT_GRAD_FLOOR))
+    return jnp.where(pot > _POT_GRAD_FLOOR, capped, jax.lax.stop_gradient(val))
 
 
 def _sigma(r, a, theta):
@@ -141,8 +160,8 @@ class KerrBLSolver(Solver):
         sign_theta = jnp.where(p[..., 2] >= 0.0, 1.0, -1.0)
         r_pot = potential_r(r, self.radius, self.a, self.e, self.l_z, self.q)
         th_pot = potential_theta(theta, self.a, self.e, self.l_z, self.q)
-        v_r = sign_r * jnp.sqrt(jnp.maximum(r_pot, 0.0))
-        v_theta = sign_theta * jnp.sqrt(jnp.maximum(th_pot, 0.0))
+        v_r = sign_r * _turning_safe_sqrt(r_pot)
+        v_theta = sign_theta * _turning_safe_sqrt(th_pot)
         zero = jnp.zeros_like(v_r)
         return jnp.stack(
             [x[..., 0], r, theta, x[..., 3], v_r, v_theta, zero, zero], axis=-1

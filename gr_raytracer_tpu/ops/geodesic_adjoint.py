@@ -29,11 +29,15 @@ Discrete decisions (stop codes, which step crossed the disc, cost-sort
 order) are treated as locally constant, exactly like the lax path's
 where-masks.
 
-Scope (v1): the KS kernel with thin discs and opaque textures (the
-flagship/benchmark shape) — with `opaque_stop` the only shaded event is
-slot 0, recorded at the lane's final step, so its payload cotangent injects
-at a known iteration (g = steps−1). Unsupported scenes keep the lax
-differentiable path (fast_path.supports_diff gates).
+Scope: thin-disc scenes with statically opaque textures — with
+`opaque_stop` the only shaded event is slot 0, recorded at the lane's
+final step, so its payload cotangent injects at a known iteration
+(g = steps−1). BOTH kernel families are covered: the KS march
+(make_ks_march_diff — Kerr scenes) and the BL/Mino march
+(make_bl_march_diff — KerrBL scenes, and Schwarzschild ones the driver
+serves as BL at a = 0), the latter with per-lane conserved-scalar
+(E, L_z, Q) cotangents. Unsupported scenes keep the lax differentiable
+path (fast_path.supports_diff gates).
 """
 
 from __future__ import annotations
@@ -50,8 +54,10 @@ from gr_raytracer_tpu.ops import geodesic_pallas as gp
 from gr_raytracer_tpu.rendering import integrator as integ
 
 K_CKPT = 128  # steps per checkpoint segment (VMEM: K·8 tiles ≈ 4 MB)
-# Adjoint trust region (see bwd_body): λ beyond this is treated as diverged
-# and the lane retired from the parameter sums. Well-conditioned lanes stay
+# Adjoint trust region (see bwd_body): a λ COMPONENT or per-step parameter
+# partial beyond this is treated as diverged and the lane retired from the
+# parameter sums (|x| < CAP is False for NaN, so non-finite values retire
+# too). Well-conditioned lanes stay
 # many orders below (loss-scale cotangents through O(1) step Jacobians);
 # diverged lanes cross any such bar within a few reverse steps of where
 # they'd hit f32 inf, so the exact value is immaterial — 1e15 leaves ~1e23
@@ -260,7 +266,7 @@ def _bwd_kernel(
                 & (jnp.abs(lam_new[2]) < LAM_CAP) & (jnp.abs(lam_new[3]) < LAM_CAP)
                 & (jnp.abs(lam_new[4]) < LAM_CAP) & (jnp.abs(lam_new[5]) < LAM_CAP)
                 & (jnp.abs(lam_new[6]) < LAM_CAP) & (jnp.abs(lam_new[7]) < LAM_CAP)
-                & jnp.isfinite(d_r_l) & jnp.isfinite(d_a_l)
+                & (jnp.abs(d_r_l) < LAM_CAP) & (jnp.abs(d_a_l) < LAM_CAP)
             )
             lam_new = jnp.where(trust[None], lam_new, 0.0)
             d_r_l = jnp.where(trust, d_r_l, 0.0)
@@ -409,6 +415,368 @@ def make_ks_march_diff(
         d_radius = jnp.sum(dp[:, 0, 0]).astype(radius.dtype)
         d_a = jnp.sum(dp[:, 0, 1]).astype(a.dtype)
         return (d_radius, d_a, jnp.zeros_like(radius), jnp.zeros_like(radius), d_y0)
+
+    march.defvjp(march_fwd, march_bwd)
+    return march
+
+
+# ---------------------------------------------------------------------------
+# KerrBL (Carter-separated Mino-time) march adjoint
+# ---------------------------------------------------------------------------
+#
+# Same architecture as the KS adjoint above — checkpointed forward
+# (kerr_bl_rk4_march ckpt_every), one backward Pallas kernel re-forwarding
+# each segment into VMEM and sweeping exact step-VJPs in reverse — with one
+# structural addition: the BL march's per-lane conserved scalars (E, L_z,
+# Q) are differentiable inputs, and their partials stay PER-LANE (no block
+# sum — each lane's constants are its own), accumulated in a revisited
+# output block alongside λ. ∂/∂radius and ∂/∂a still accumulate via the
+# broadcast-tile trick + SMEM block partials. This serves KerrBL scenes AND
+# Schwarzschild ones (the driver marches Schwarzschild as BL at a = 0,
+# fast_path._march_geometry_of).
+
+
+def _bl_masked_step(radius, a, h0, h_min_frac, r_ref_scale, e, l_z, q, y, active):
+    """One masked Mino-time RK4 advance — op-for-op the march body of
+    geodesic_pallas._bl_march_kernel (same h rule, no far-field lever).
+    r₊'s sqrt is guarded at 1e-30 (kernel: 0.0) — identical for any
+    sub-extremal spin, finite VJP at a → m."""
+    m = 0.5 * radius
+    r_plus = m + jnp.sqrt(jnp.maximum(m * m - a * a, 1e-30))
+    inv_e = 1.0 / jnp.maximum(jnp.abs(e), 1e-12)
+    r_here = y[1]
+    h = (
+        h0
+        * inv_e
+        / (1.0 + (r_here / r_ref_scale) ** 2)
+        * jnp.clip((r_here - r_plus) / r_ref_scale, h_min_frac, 1.0)
+    )
+    k1 = gp._bl_rhs(radius, a, e, l_z, q, y)
+    k2 = gp._bl_rhs(radius, a, e, l_z, q, y + 0.5 * h * k1)
+    k3 = gp._bl_rhs(radius, a, e, l_z, q, y + 0.5 * h * k2)
+    k4 = gp._bl_rhs(radius, a, e, l_z, q, y + h * k3)
+    y_new = y + (h / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+    return jnp.where(active[None], y_new, y)
+
+
+def _bl_embed3(a, y):
+    """KS Cartesian embedding of a BL state's spatial position, [3, ...]
+    (the kernel's per-step s3/e3)."""
+    sp, cp = jnp.sin(y[3]), jnp.cos(y[3])
+    st, ct = jnp.sin(y[2]), jnp.cos(y[2])
+    return jnp.stack(
+        [(y[1] * cp - a * sp) * st, (y[1] * sp + a * cp) * st, y[1] * ct], axis=0
+    )
+
+
+def _bl_disc_payload(discs, ev_kind0, radius, a, e, l_z, y, y_new):
+    """Slot-0 disc payload of the BL step (y → y_new), as stored by the
+    kernel: equatorial θ-crossing interpolation, KS embedding at θ = π/2,
+    interpolated contravariant momentum, per-disc UV, embedded segment.
+    Division guards exactly as in the KS payload."""
+    half_pi = math.pi / 2.0
+    d_prev = y[2] - half_pi
+    d_new = y_new[2] - half_pi
+    den_raw = d_prev - d_new
+    ok = jnp.abs(den_raw) >= 1e-12
+    frac = jnp.where(ok, d_prev, 0.0) / jnp.where(ok, den_raw, 1.0)
+    r_c = y[1] + frac * (y_new[1] - y[1])
+    phi_c = y[3] + frac * (y_new[3] - y[3])
+    sp = jnp.sin(phi_c)
+    cp = jnp.cos(phi_c)
+    px = r_c * cp - a * sp
+    py = r_c * sp + a * cp
+    rr = jnp.sqrt(jnp.maximum(px * px + py * py, 1e-30))
+    phi = gp._atan2(py, px)
+    inner = jnp.zeros_like(px) + float(discs[0].inner)
+    outer = jnp.zeros_like(px) + float(discs[0].outer)
+    for d in discs[1:]:
+        sel = ev_kind0 == d.kind
+        inner = jnp.where(sel, float(d.inner), inner)
+        outer = jnp.where(sel, float(d.outer), outer)
+    r_norm = (rr - inner) / (outer - inner)
+    u = 0.5 + 0.5 * r_norm * jnp.cos(phi)
+    v = 0.5 + 0.5 * r_norm * jnp.sin(phi)
+    p_prev = gp._bl_momentum(radius, a, e, l_z, y)
+    p_new = gp._bl_momentum(radius, a, e, l_z, y_new)
+    p_interp = p_prev + frac[None] * (p_new - p_prev)
+    seg = _bl_embed3(a, y_new) - _bl_embed3(a, y)
+    return jnp.concatenate(
+        [px[None], py[None], jnp.zeros_like(px)[None], p_interp, u[None], v[None], seg],
+        axis=0,
+    )  # [12, SUB, LANE]
+
+
+def _bl_step_with_payload(discs, h0, h_min_frac, r_ref_scale, ev_kind0,
+                          radius, a, e, l_z, q, y, active):
+    y_new = _bl_masked_step(
+        radius, a, h0, h_min_frac, r_ref_scale, e, l_z, q, y, active
+    )
+    payload = _bl_disc_payload(discs, ev_kind0, radius, a, e, l_z, y, y_new)
+    return y_new, payload
+
+
+def _bl_bwd_kernel(
+    ckpt_ref,     # (1, 8, SUB, LANE) — segment-start state (reversed order)
+    ct_y_ref,     # (8, SUB, LANE)
+    ct_ev_ref,    # (W, SUB, LANE)
+    steps_ref,    # (SUB, LANE) i32
+    gradok_ref,   # (SUB, LANE) i32
+    hasev_ref,    # (SUB, LANE) i32
+    evkind_ref,   # (SUB, LANE) i32
+    consts_ref,   # (8, SUB, LANE): rows 0..2 = E, L_z, Q
+    param_ref,    # SMEM (8, 1): radius, a
+    lam_ref,      # out (8, SUB, LANE) — λ carry; dL/dy0 after the sweep
+    dc_ref,       # out (8, SUB, LANE) — rows 0..2: per-lane dL/dE, dL/dL_z, dL/dQ
+    dp_ref,       # out SMEM (1, 1, 2) — (dL/dradius, dL/da) block partials
+    states,       # scratch (K, 8, SUB, LANE)
+    *,
+    n_seg: int,
+    k_ckpt: int,
+    attempts: int,
+    discs: tuple,
+    h0: float,
+    h_min_frac: float,
+    r_ref_scale: float,
+):
+    j = pl.program_id(1)
+    radius = param_ref[0, 0]
+    a = param_ref[1, 0]
+    steps = steps_ref[:, :]
+    grad_ok = gradok_ref[:, :] != 0
+    has_ev = hasev_ref[:, :] != 0
+    ev_kind0 = evkind_ref[:, :]
+    e_c = consts_ref[0]
+    lz_c = consts_ref[1]
+    q_c = consts_ref[2]
+
+    @pl.when(j == 0)
+    def _():
+        lam_ref[:, :, :] = ct_y_ref[:, :, :]
+        dc_ref[:, :, :] = jnp.zeros_like(ct_y_ref)
+        dp_ref[0, 0, 0] = jnp.zeros((), ct_y_ref.dtype)
+        dp_ref[0, 0, 1] = jnp.zeros((), ct_y_ref.dtype)
+
+    seg = n_seg - 1 - j
+    seg_start = seg * k_ckpt
+    k_eff = jnp.minimum(k_ckpt, attempts - seg_start)
+    s_max = jnp.max(steps)
+
+    @pl.when(seg_start < s_max)
+    def _process():
+        y_seg = ckpt_ref[0]
+        # Benign BL state: equatorial, far from horizon and poles, unit
+        # inward radial velocity — every divide (Δ, sin²θ, sin³θ) regular.
+        zero = jnp.zeros_like(y_seg[0])
+        safe_state = jnp.stack(
+            [zero, zero + 10.0, zero + math.pi / 2.0, zero,
+             zero - 1.0, zero, zero, zero], axis=0,
+        )
+
+        def fwd_body(k, y):
+            states[k] = y
+            g = seg_start + k
+            active = g < steps
+            lane_ok = (
+                jnp.isfinite(y[0]) & jnp.isfinite(y[1]) & jnp.isfinite(y[2])
+                & jnp.isfinite(y[3]) & jnp.isfinite(y[4]) & jnp.isfinite(y[5])
+            )
+            y_eval = jnp.where((active & lane_ok)[None], y, safe_state)
+            y_new = _bl_masked_step(
+                radius, a, h0, h_min_frac, r_ref_scale, e_c, lz_c, q_c,
+                y_eval, active & lane_ok,
+            )
+            return jnp.where((active & lane_ok)[None], y_new, y)
+
+        jax.lax.fori_loop(0, k_eff, fwd_body, y_seg)
+
+        def bwd_body(i, carry):
+            lam, de, dlz, dq, dr, da = carry
+            k = k_eff - 1 - i
+            g = seg_start + k
+            y_g = states[k]
+            active = (g < steps) & grad_ok
+            lane_ok = (
+                jnp.isfinite(y_g[0]) & jnp.isfinite(y_g[1]) & jnp.isfinite(y_g[2])
+                & jnp.isfinite(y_g[3]) & jnp.isfinite(y_g[4]) & jnp.isfinite(y_g[5])
+            )
+            act = active & lane_ok
+            y_eval = jnp.where(act[None], y_g, safe_state)
+
+            fn = functools.partial(
+                _bl_step_with_payload, discs, h0, h_min_frac, r_ref_scale,
+                ev_kind0,
+            )
+            rv = jnp.full_like(y_eval[0], radius)
+            av = jnp.full_like(y_eval[0], a)
+            _, vjp = jax.vjp(
+                lambda r_, a_, e_, lz_, q_, y_: fn(r_, a_, e_, lz_, q_, y_, act),
+                rv, av, e_c, lz_c, q_c, y_eval,
+            )
+            stored = has_ev & (g == steps - 1) & act
+            ct_payload = jnp.where(stored[None], ct_ev_ref[:, :, :], 0.0)
+            d_r_l, d_a_l, d_e_l, d_lz_l, d_q_l, lam_new = vjp((lam, ct_payload))
+            # Adjoint trust region — see the KS kernel's bwd_body.
+            trust = (
+                (jnp.abs(lam_new[0]) < LAM_CAP) & (jnp.abs(lam_new[1]) < LAM_CAP)
+                & (jnp.abs(lam_new[2]) < LAM_CAP) & (jnp.abs(lam_new[3]) < LAM_CAP)
+                & (jnp.abs(lam_new[4]) < LAM_CAP) & (jnp.abs(lam_new[5]) < LAM_CAP)
+                & (jnp.abs(lam_new[6]) < LAM_CAP) & (jnp.abs(lam_new[7]) < LAM_CAP)
+                & (jnp.abs(d_r_l) < LAM_CAP) & (jnp.abs(d_a_l) < LAM_CAP)
+                & (jnp.abs(d_e_l) < LAM_CAP) & (jnp.abs(d_lz_l) < LAM_CAP)
+                & (jnp.abs(d_q_l) < LAM_CAP)
+            )
+            lam_new = jnp.where(trust[None], lam_new, 0.0)
+            return (
+                lam_new,
+                de + jnp.where(trust, d_e_l, 0.0),
+                dlz + jnp.where(trust, d_lz_l, 0.0),
+                dq + jnp.where(trust, d_q_l, 0.0),
+                dr + jnp.sum(jnp.where(trust, d_r_l, 0.0)),
+                da + jnp.sum(jnp.where(trust, d_a_l, 0.0)),
+            )
+
+        lam0 = lam_ref[:, :, :]
+        z2 = jnp.zeros_like(lam0[0])
+        lam_f, de_f, dlz_f, dq_f, dr_f, da_f = jax.lax.fori_loop(
+            0, k_eff, bwd_body,
+            (lam0, z2, z2, z2, jnp.zeros((), lam0.dtype), jnp.zeros((), lam0.dtype)),
+        )
+        lam_ref[:, :, :] = lam_f
+        dcon = dc_ref[:, :, :]
+        dc_ref[:, :, :] = dcon + jnp.concatenate(
+            [de_f[None], dlz_f[None], dq_f[None], jnp.zeros_like(dcon[3:])], axis=0
+        )
+        dp_ref[0, 0, 0] += dr_f
+        dp_ref[0, 0, 1] += da_f
+
+
+def make_bl_march_diff(
+    *,
+    h0: float,
+    max_steps: int,
+    discs: tuple,
+    h_min_frac: float = 0.02,
+    r_ref_scale: float = 10.0,
+    k_ckpt: int = K_CKPT,
+    interpret: bool = False,
+):
+    """Differentiable BL (Mino-time) march for a static kernel config.
+
+    Returns fn(radius, a, horizon_eps, max_radius, e, l_z, q, y0) →
+        (y_f [N,8], ev_data [N,K,W], stop, steps, ev_kind, ev_count, ev_ovf)
+    with a custom VJP over (radius, a, e, l_z, q, y0); horizon_eps and
+    max_radius only move discrete stop decisions — zero cotangent. Scope
+    matches the KS wrapper: opaque thin-disc scenes (slot-0 shading)."""
+    if not discs:
+        raise ValueError("diff march needs at least one disc")
+    n_seg = -(-int(max_steps) // int(k_ckpt))
+    static = dict(
+        h0=float(h0), h_min_frac=float(h_min_frac), r_ref_scale=float(r_ref_scale)
+    )
+
+    def fwd_march(radius, a, horizon_eps, max_radius, e, l_z, q, y0):
+        out = gp.kerr_bl_rk4_march(
+            radius, a, horizon_eps, y0, e, l_z, q,
+            h0=h0, max_steps=max_steps, max_radius=max_radius,
+            discs=discs, h_min_frac=h_min_frac, r_ref_scale=r_ref_scale,
+            opaque_stop=True, interpret=interpret, ckpt_every=k_ckpt,
+        )
+        y_f, stop, steps, ev_kind, ev_data, ev_count, ev_ovf, ckpt = out
+        return (y_f, ev_data, stop, steps, ev_kind, ev_count, ev_ovf), ckpt
+
+    @jax.custom_vjp
+    def march(radius, a, horizon_eps, max_radius, e, l_z, q, y0):
+        res, _ = fwd_march(radius, a, horizon_eps, max_radius, e, l_z, q, y0)
+        return res
+
+    def march_fwd(radius, a, horizon_eps, max_radius, e, l_z, q, y0):
+        res, ckpt = fwd_march(radius, a, horizon_eps, max_radius, e, l_z, q, y0)
+        y_f, ev_data, stop, steps, ev_kind, ev_count, ev_ovf = res
+        residuals = (radius, a, e, l_z, q, ckpt, stop, steps, ev_kind, ev_count)
+        return res, residuals
+
+    def march_bwd(residuals, cts):
+        radius, a, e, l_z, q, ckpt, stop, steps, ev_kind, ev_count = residuals
+        ct_yf, ct_ev = cts[0], cts[1]
+        n = ct_yf.shape[0]
+        dtype = ct_yf.dtype
+        lane = gp.LANE
+
+        grad_ok = ((stop == integ.CELESTIAL) | (ev_count > 0)).astype(jnp.int32)
+        has_ev = ((ev_count > 0) & (ev_kind[:, 0] >= 0)).astype(jnp.int32)
+        ev_kind0 = jnp.maximum(ev_kind[:, 0], 0)
+
+        to_tiles = lambda v, rows: v.T.reshape(rows, n // lane, lane)
+        ct_y_t = to_tiles(ct_yf, 8)
+        ct_ev_t = to_tiles(ct_ev[:, 0, :], gp.EVENT_WIDTH)
+        row = lambda v: v.reshape(n // lane, lane)
+        consts = jnp.concatenate(
+            [e[None, :], l_z[None, :], q[None, :], jnp.zeros((5, n), dtype)], axis=0
+        ).reshape(8, n // lane, lane)
+        params = jnp.stack([jnp.full((1,), radius, dtype), jnp.full((1,), a, dtype)]
+                           + [jnp.zeros((1,), dtype)] * 6).reshape(8, 1)
+
+        n_blocks = n // gp.LANE_TILE
+        lane_block = lambda rows: pl.BlockSpec(
+            (rows, gp.SUB, lane), lambda b, j: (0, b, 0), memory_space=pltpu.VMEM
+        )
+        flat_block = pl.BlockSpec(
+            (gp.SUB, lane), lambda b, j: (b, 0), memory_space=pltpu.VMEM
+        )
+        kernel = functools.partial(
+            _bl_bwd_kernel, n_seg=n_seg, k_ckpt=k_ckpt, attempts=int(max_steps),
+            discs=discs, **static,
+        )
+        lam, dc, dp = pl.pallas_call(
+            kernel,
+            grid=(n_blocks, n_seg),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 8, gp.SUB, lane),
+                    lambda b, j: (n_seg - 1 - j, 0, b, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                lane_block(8),
+                lane_block(gp.EVENT_WIDTH),
+                flat_block,
+                flat_block,
+                flat_block,
+                flat_block,
+                lane_block(8),
+                pl.BlockSpec((8, 1), lambda b, j: (0, 0), memory_space=pltpu.SMEM),
+            ],
+            out_specs=[
+                lane_block(8),
+                lane_block(8),
+                pl.BlockSpec((1, 1, 2), lambda b, j: (b, 0, 0), memory_space=pltpu.SMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((8, n // lane, lane), dtype),
+                jax.ShapeDtypeStruct((8, n // lane, lane), dtype),
+                jax.ShapeDtypeStruct((n_blocks, 1, 2), dtype),
+            ],
+            scratch_shapes=[pltpu.VMEM((k_ckpt, 8, gp.SUB, lane), dtype)],
+            interpret=interpret,
+        )(
+            ckpt.reshape(n_seg, 8, n // lane, lane),
+            ct_y_t,
+            ct_ev_t,
+            row(steps),
+            row(grad_ok),
+            row(has_ev),
+            row(ev_kind0),
+            consts,
+            params,
+        )
+        d_y0 = lam.reshape(8, n).T
+        dc = dc.reshape(8, n)
+        d_radius = jnp.sum(dp[:, 0, 0]).astype(radius.dtype)
+        d_a = jnp.sum(dp[:, 0, 1]).astype(a.dtype)
+        return (
+            d_radius, d_a, jnp.zeros_like(radius), jnp.zeros_like(radius),
+            dc[0], dc[1], dc[2], d_y0,
+        )
 
     march.defvjp(march_fwd, march_bwd)
     return march

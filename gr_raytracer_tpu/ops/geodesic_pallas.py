@@ -978,7 +978,7 @@ def _bl_march_kernel(
     y_out_ref,
     meta_ref,
     ev_data_ref,
-    *,
+    *maybe_ckpt,  # [ckpt_ref (S, 8, SUB, LANE)] when ckpt_every > 0
     attempts: int,
     budget_steps: int,
     discs: tuple,
@@ -987,6 +987,7 @@ def _bl_march_kernel(
     opaque_stop: bool = False,
     finalize: bool = True,
     compensated: bool = False,
+    ckpt_every: int = 0,
 ):
     radius = param_ref[0, 0]
     a = param_ref[1, 0]
@@ -995,6 +996,7 @@ def _bl_march_kernel(
     max_radius = param_ref[4, 0]
     h_min_frac = param_ref[5, 0]
     r_ref_scale = param_ref[6, 0]
+    ckpt_ref = maybe_ckpt[0] if maybe_ckpt else None
 
     y0 = y_ref[:, :, :]  # (8, SUB, LANE)
     e = consts_ref[0]
@@ -1033,6 +1035,14 @@ def _bl_march_kernel(
         ev_kind = meta[META_KIND0 : META_KIND0 + MAX_EVENTS]
         ev_ovf = meta[META_OVF]
         active = stop == integ.RUNNING
+
+        if ckpt_ref is not None:
+            # Reverse-sweep checkpoint (ops/geodesic_adjoint.py): the
+            # PRE-step state every ckpt_every iterations, exactly as in the
+            # KS kernel.
+            @pl.when(it % ckpt_every == 0)
+            def _():
+                ckpt_ref[it // ckpt_every] = y
 
         r_here = y[1]
         h = (
@@ -1244,10 +1254,13 @@ def kerr_bl_rk4_march(
     resume=None,
     finalize: bool = True,
     compensated: bool = False,
+    ckpt_every: int = 0,
 ):
     """Carter-separated Mino-time RK4 march (the reference's fast geometry,
     ~8-9× cheaper RHS than the KS Hamiltonian). attempts/resume/finalize:
-    march checkpoint/resume, see kerr_rk4_march."""
+    march checkpoint/resume, see kerr_rk4_march. ckpt_every > 0 appends an
+    8th return element with the pre-step state every ckpt_every iterations
+    ([S, 8, N]) — the reverse-sweep input of ops/geodesic_adjoint.py."""
     n = y0.shape[0]
     assert n % LANE_TILE == 0, f"N must be a multiple of {LANE_TILE}"
     dtype = y0.dtype
@@ -1291,8 +1304,27 @@ def kerr_bl_rk4_march(
         opaque_stop=bool(opaque_stop),
         finalize=bool(finalize),
         compensated=bool(compensated),
+        ckpt_every=int(ckpt_every),
     )
-    y_f, meta, ev_data = pl.pallas_call(
+    out_specs = [
+        lane_spec(8),
+        lane_spec(META_ROWS),
+        lane_spec(MAX_EVENTS * EVENT_WIDTH),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((8, n // LANE, LANE), dtype),
+        jax.ShapeDtypeStruct((META_ROWS, n // LANE, LANE), jnp.int32),
+        jax.ShapeDtypeStruct((MAX_EVENTS * EVENT_WIDTH, n // LANE, LANE), dtype),
+    ]
+    if ckpt_every:
+        n_seg = -(-int(attempts) // int(ckpt_every))
+        out_specs.append(
+            pl.BlockSpec(
+                (n_seg, 8, SUB, LANE), lambda i: (0, 0, i, 0), memory_space=pltpu.VMEM
+            )
+        )
+        out_shape.append(jax.ShapeDtypeStruct((n_seg, 8, n // LANE, LANE), dtype))
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -1302,23 +1334,16 @@ def kerr_bl_rk4_march(
             lane_spec(MAX_EVENTS * EVENT_WIDTH),
             pl.BlockSpec((8, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
-        out_specs=[
-            lane_spec(8),
-            lane_spec(META_ROWS),
-            lane_spec(MAX_EVENTS * EVENT_WIDTH),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((8, n // LANE, LANE), dtype),
-            jax.ShapeDtypeStruct((META_ROWS, n // LANE, LANE), jnp.int32),
-            jax.ShapeDtypeStruct((MAX_EVENTS * EVENT_WIDTH, n // LANE, LANE), dtype),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(y_t, consts, meta_in, ev_in, params)
+    y_f, meta, ev_data = outs[:3]
 
     y_f = y_f.reshape(8, n)
     meta = meta.reshape(META_ROWS, n)
     ev_data = ev_data.reshape(MAX_EVENTS * EVENT_WIDTH, n)
-    return (
+    result = (
         y_f.T,
         meta[META_STOP],
         meta[META_STEPS],
@@ -1327,3 +1352,6 @@ def kerr_bl_rk4_march(
         meta[META_COUNT],
         meta[META_OVF] != 0,
     )
+    if ckpt_every:
+        return result + (outs[3].reshape(-1, 8, n),)
+    return result

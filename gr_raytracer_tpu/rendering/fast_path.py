@@ -424,15 +424,16 @@ def trace_rays_fast(scene, positions, momenta, interpret: bool = False, spec=Non
 
 
 def supports_diff(scene) -> bool:
-    """Kernel-VJP coverage (ops/geodesic_adjoint.py): Kerr (Kerr-Schild)
-    with thin discs only, every texture statically opaque (slot-0 shading is
-    then exact, so the adjoint injects exactly one payload cotangent per
-    lane at its stop step). Everything else keeps the lax
-    `differentiable=True` path."""
+    """Kernel-VJP coverage (ops/geodesic_adjoint.py): Kerr (KS chart),
+    KerrBL or Schwarzschild (both served by the BL/Mino kernel,
+    _march_geometry_of) with thin discs only, every texture statically
+    opaque (slot-0 shading is then exact, so the adjoint injects exactly
+    one payload cotangent per lane at its stop step). Everything else
+    keeps the lax `differentiable=True` path."""
     from gr_raytracer_tpu.geometry.kerr import Kerr
 
     return (
-        isinstance(scene.geometry, Kerr)
+        isinstance(scene.geometry, (Kerr, KerrBL, Schwarzschild))
         and bool(scene.objects)
         and all(isinstance(o, Disc) for o in scene.objects)
         and scene_kernel_spec(scene).opaque
@@ -465,21 +466,44 @@ def trace_rays_fast_diff(
     n = positions.shape[0]
     march_geometry, solver, y0, freq, inverse = _prepare_march(scene, positions, momenta)
     cfg = scene.integration
-    march = gadj.make_ks_march_diff(
-        h0=1.0,
-        max_steps=cfg.max_steps,
-        discs=spec.discs,
-        r_safe=spec.r_safe,
-        interpret=interpret,
-        **({"k_ckpt": k_ckpt} if k_ckpt else {}),
-    )
-    y_f, ev_data, stop, steps, ev_kind, ev_count, ev_ovf = march(
-        march_geometry.radius,
-        march_geometry.a,
-        march_geometry.horizon_epsilon,
-        cfg.max_radius,
-        y0,
-    )
+    if isinstance(march_geometry, KerrBL):
+        # Mino-time diff march (same h0/budget rule as _run_kernel's BL
+        # branch); the per-lane conserved scalars are differentiable inputs
+        # — their cotangents flow back into the camera/geometry through the
+        # solver construction (kerr_bl.make_solver is plain jnp).
+        march = gadj.make_bl_march_diff(
+            h0=0.01,
+            max_steps=2 * cfg.max_steps,
+            discs=spec.discs,
+            interpret=interpret,
+            **({"k_ckpt": k_ckpt} if k_ckpt else {}),
+        )
+        y_f, ev_data, stop, steps, ev_kind, ev_count, ev_ovf = march(
+            march_geometry.radius,
+            march_geometry.a,
+            march_geometry.horizon_epsilon,
+            cfg.max_radius,
+            solver.e,
+            solver.l_z,
+            solver.q,
+            y0,
+        )
+    else:
+        march = gadj.make_ks_march_diff(
+            h0=1.0,
+            max_steps=cfg.max_steps,
+            discs=spec.discs,
+            r_safe=spec.r_safe,
+            interpret=interpret,
+            **({"k_ckpt": k_ckpt} if k_ckpt else {}),
+        )
+        y_f, ev_data, stop, steps, ev_kind, ev_count, ev_ovf = march(
+            march_geometry.radius,
+            march_geometry.a,
+            march_geometry.horizon_epsilon,
+            cfg.max_radius,
+            y0,
+        )
     res = _state_to_result((y_f, stop, steps, ev_kind, ev_data, ev_count, ev_ovf))
     return _finish_samples(scene, res, freq, solver, inverse, n, first_event_only=True)
 

@@ -202,7 +202,13 @@ def _celestial_color(scene, freq, solver, res):
     # both the value and every parameter cotangent finite.
     escaped_m = res.stop_code == integ.CELESTIAL
     state_ok = jnp.all(jnp.isfinite(res.y), axis=-1, keepdims=True) & escaped_m[:, None]
+    # Chart-aware safe park: r = 100 equatorial for spherical-type charts
+    # (θ = 0 — the zeros default — is the POLE, where the BL momentum's
+    # 1/sin²θ is the same masked-NaN leak this substitution exists to
+    # prevent); x = 100 for Cartesian.
     safe_state = jnp.zeros_like(res.y).at[..., 1].set(100.0)
+    if geometry.chart != charts.CARTESIAN:
+        safe_state = safe_state.at[..., 2].set(jnp.pi / 2).at[..., 5].set(0.0)
     y_safe = jnp.where(state_ok, res.y, safe_state)
     p_last = solver.momentum(y_safe)
     p_last = jnp.where(jnp.isfinite(p_last), p_last, 0.0)

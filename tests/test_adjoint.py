@@ -95,3 +95,98 @@ def test_kernel_vjp_matches_finite_differences(loss_fn, name, eps):
     denom = max(abs(fd), 1e-12)
     rel = abs(g - fd) / denom
     assert rel < 5e-5, f"{name}: vjp={g} fd={fd} rel={rel}"
+
+
+# ---------------------------------------------------------------------------
+# BL (Mino-time) march adjoint — same discrete-FD oracle, covering the
+# per-lane conserved-scalar (E, L_z, Q) cotangent route that the KS
+# adjoint does not have. Scene: the vendored kerr-bl.toml shape (KerrBL +
+# opaque blackbody disc); the camera stays frozen at the base build so
+# the differentiated function is identical for AD and FD.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def bl_loss_fn():
+    from gr_raytracer_tpu import config as cfgmod
+    from gr_raytracer_tpu.geometry.kerr_bl import KerrBL
+    from gr_raytracer_tpu.utils import assets
+
+    cfg = cfgmod.load_config(assets.scene_path("kerr-bl.toml"))
+    opts = cfgmod.RenderOptions(
+        width=COLS, height=ROWS, max_steps=150, max_radius=30.0,
+        camera_position=(-10.0, 0.0, -0.5), theta=1.52, psi=-1.57,
+    )
+    scene = cfgmod.create_scene_host(cfg, opts, jnp.float64)
+    spec = fast_path.scene_kernel_spec(scene)
+    rr, cc = jnp.meshgrid(
+        jnp.arange(ROWS, dtype=jnp.float64),
+        jnp.arange(COLS, dtype=jnp.float64),
+        indexing="ij",
+    )
+    rf, cf = rr.ravel(), cc.ravel()
+    x0, p0 = cam.pixel_rays(scene.camera, rf, cf)
+    rng = np.random.default_rng(7)
+    w = jnp.asarray(rng.uniform(0.5, 1.5, (ROWS * COLS, 3)))
+    base = {
+        "radius": jnp.asarray(1.0, jnp.float64),
+        "a": jnp.asarray(0.499, jnp.float64),
+        "dth": jnp.asarray(0.0, jnp.float64),  # shift of the ray origins' θ
+    }
+
+    def loss(params):
+        geo = KerrBL(
+            radius=params["radius"], a=params["a"],
+            horizon_epsilon=scene.geometry.horizon_epsilon,
+        )
+        s2 = scene.replace(geometry=geo)
+        # θ-shift of the ray ORIGINS: moves every disc-hit radius and the
+        # escaped UVs — a robust cotangent route through d_y0 and the
+        # conserved scalars. (A φ-shift is ill-posed here: the geometry is
+        # axisymmetric, so only the bitmap celestial depends on it, and the
+        # probe's escaped lanes land on locally FLAT texel regions — the
+        # true gradient is ~0 and the FD check degenerates to 0/0.)
+        x = x0.at[:, 2].add(params["dth"])
+        s = fast_path.trace_rays_fast_diff(
+            s2, x, p0, interpret=True, spec=spec, k_ckpt=K_CKPT
+        )
+        c = s.color[..., :3]
+        return jnp.sum(w * (c / (1.0 + c)))
+
+    return base, loss
+
+
+def test_bl_diff_path_exercises_both_shading_branches(bl_loss_fn):
+    from gr_raytracer_tpu import config as cfgmod
+    from gr_raytracer_tpu.rendering import scene as scn
+    from gr_raytracer_tpu.utils import assets
+
+    cfg = cfgmod.load_config(assets.scene_path("kerr-bl.toml"))
+    opts = cfgmod.RenderOptions(
+        width=COLS, height=ROWS, max_steps=150, max_radius=30.0,
+        camera_position=(-10.0, 0.0, -0.5), theta=1.52, psi=-1.57,
+    )
+    scene = cfgmod.create_scene_host(cfg, opts, jnp.float64)
+    spec = fast_path.scene_kernel_spec(scene)
+    rr, cc = jnp.meshgrid(
+        jnp.arange(ROWS, dtype=jnp.float64),
+        jnp.arange(COLS, dtype=jnp.float64),
+        indexing="ij",
+    )
+    x, p = cam.pixel_rays(scene.camera, rr.ravel(), cc.ravel())
+    s = fast_path.trace_rays_fast_diff(scene, x, p, interpret=True, spec=spec, k_ckpt=K_CKPT)
+    classes = np.asarray(s.ray_class)
+    assert (classes == scn.HIT).any() and (classes == scn.ESCAPED).any()
+
+
+@pytest.mark.parametrize("name,eps", [("a", 1e-6), ("radius", 1e-6), ("dth", 1e-6)])
+def test_bl_kernel_vjp_matches_finite_differences(bl_loss_fn, name, eps):
+    base, loss = bl_loss_fn
+    grads = jax.grad(loss)(base)
+    g = float(np.asarray(grads[name]))
+    perturb = lambda s: dict(base, **{name: base[name] + s})
+    fd = (float(loss(perturb(eps))) - float(loss(perturb(-eps)))) / (2 * eps)
+    assert np.isfinite(g) and np.isfinite(fd)
+    denom = max(abs(fd), 1e-12)
+    rel = abs(g - fd) / denom
+    assert rel < 5e-5, f"{name}: vjp={g} fd={fd} rel={rel}"
