@@ -103,6 +103,9 @@ def main():
                     "camera tilt) at --fit3-size on the kernel-VJP path")
     ap.add_argument("--fit3-size", type=int, default=256)
     ap.add_argument("--fit3-steps", type=int, default=400)
+    ap.add_argument("--bl", action="store_true",
+                    help="also measure the BL/Mino kernel-VJP (KerrBL grad "
+                    "step + spin recovery at 128²)")
     args = ap.parse_args()
 
     cfgmod.enable_host_cpu_platform()
@@ -277,6 +280,83 @@ def main():
             "wall_clock_s": round(fit3_s, 1),
         }
         print(f"[fit3] {out['fit3']}", flush=True)
+
+    # --- BL/Mino kernel-VJP stanza (r4: make_bl_march_diff) ---------------
+    if args.bl:
+        import optax
+
+        from gr_raytracer_tpu import inverse
+        from gr_raytracer_tpu.geometry.kerr_bl import KerrBL
+        from gr_raytracer_tpu.rendering import fast_path
+        from gr_raytracer_tpu.utils import assets
+
+        blcfg = cfgmod.load_config(assets.scene_path("kerr-bl.toml"))
+        blopts = cfgmod.RenderOptions(
+            width=128, height=128, max_steps=10000, max_radius=1000.0,
+            camera_position=(-10.0, 0.0, -0.5), theta=1.52, psi=-1.57,
+        )
+        blscene = cfgmod.create_scene_host(blcfg, blopts, dtype)
+        blspec = fast_path.scene_kernel_spec(blscene)
+        rrb, ccb = jnp.meshgrid(
+            jnp.arange(128, dtype=dtype), jnp.arange(128, dtype=dtype), indexing="ij"
+        )
+        xb, pb = cam.pixel_rays(blscene.camera, rrb.ravel(), ccb.ravel())
+
+        def bl_render(pl):
+            geo = KerrBL(
+                radius=pl["radius"], a=pl["a"],
+                horizon_epsilon=blscene.geometry.horizon_epsilon,
+            )
+            s2 = blscene.replace(geometry=geo)
+            return fast_path.trace_rays_fast_diff(s2, xb, pb, spec=blspec).color
+
+        def bl_loss(pl):
+            c = bl_render(pl)[..., :3]
+            return jnp.mean(jnp.log1p(jnp.maximum(c, 0.0)))
+
+        blp = {"radius": jnp.asarray(1.0, dtype), "a": jnp.asarray(0.499, dtype)}
+        vgb = jax.jit(jax.value_and_grad(bl_loss))
+        t0 = time.perf_counter()
+        vb, gb = jax.device_get(vgb(blp))
+        bl_compile = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        vb, gb = jax.device_get(vgb(blp))
+        bl_step = time.perf_counter() - t0
+        out["bl_grad_step"] = {
+            "scene": "kerr-bl.toml 128x128 @ 2x10000-step Mino budget",
+            "reverse_mode": "kernel-vjp (make_bl_march_diff)",
+            "compile_s": round(bl_compile, 1),
+            "wall_clock_s": round(bl_step, 3),
+            "loss": float(vb),
+            "grads_finite": all(
+                bool(np.isfinite(np.asarray(v)).all()) for v in gb.values()
+            ),
+            "dloss_da": float(np.asarray(gb["a"])),
+            "dloss_dradius": float(np.asarray(gb["radius"])),
+        }
+        print(f"[bl-grad] {out['bl_grad_step']}", flush=True)
+
+        # Spin recovery on the BL kernel path (sub-extremal: |a| < 0.5).
+        a_true, a_init = 0.45, 0.3
+        target_b = jax.device_get(
+            jax.jit(bl_render)(dict(blp, a=jnp.asarray(a_true, dtype)))
+        )
+        t0 = time.perf_counter()
+        fitted_b, losses_b = inverse.fit(
+            bl_render, dict(blp, a=jnp.asarray(a_init, dtype)), target_b,
+            trainable=("a",), steps=12, learning_rate=3e-2,
+        )
+        fitb_s = time.perf_counter() - t0
+        a_rec_b = float(np.asarray(fitted_b["a"]))
+        out["bl_inverse_fit"] = {
+            "a_true": a_true, "a_init": a_init,
+            "a_recovered": round(a_rec_b, 5),
+            "abs_error": round(abs(a_rec_b - a_true), 5),
+            "steps": 12,
+            "loss_first": losses_b[0], "loss_last": losses_b[-1],
+            "wall_clock_s": round(fitb_s, 1),
+        }
+        print(f"[bl-fit] {out['bl_inverse_fit']}", flush=True)
 
     path = args.out or os.path.join(
         os.path.dirname(__file__), "..", "docs", "gradient_bench.json"
