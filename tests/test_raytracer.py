@@ -606,3 +606,64 @@ def test_geo_fast_tracer_cache_identity_checked():
     finally:
         fp.make_fast_geo_tracer = real
         rt._geo_fast_tracers.clear()
+
+
+def test_compact_split_driver_matches_lax_parity():
+    """End-to-end pin of the compact-wire split driver's HOST logic (event
+    sort, raymarch batching, order//K write-back, fold): run
+    _trace_chunk_split_compact_start/finish with interpret-mode kernels on
+    CPU and compare against the lax trace_rays reference at the same
+    tolerances as the kernel parity suite. A write-back indexing bug would
+    scramble colors grossly; the tolerances only absorb the documented
+    chord-vs-geodesic detection differences."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_pallas import KERR_VOLUMETRIC_SCENE
+
+    from gr_raytracer_tpu import config as cfgmod
+    from gr_raytracer_tpu.ops import volumetric_pallas as vp
+    from gr_raytracer_tpu.rendering import fast_path
+
+    cfg = cfgmod.parse_config(KERR_VOLUMETRIC_SCENE)
+    opts = cfgmod.RenderOptions(
+        width=16, height=8, max_steps=4000, max_radius=30.0, step_size=0.05,
+        camera_position=(-12.0, 0.0, -1.5), theta=1.52, psi=-1.57,
+    )
+    scene = cfgmod.create_scene(cfg, opts)
+    rr, cc = np.meshgrid(np.arange(8.0), np.arange(16.0), indexing="ij")
+    rf, cf = rr.ravel(), cc.ravel()
+
+    # Interpret-mode compact tracer, pre-seeded into the driver cache under
+    # the exact key _trace_chunk_split_compact_start computes (bucket = 2n).
+    bucket = 2 * rf.size
+    tracer = fast_path.make_fast_geo_compact_tracer(scene, 0, bucket, interpret=True)
+    rt._geo_compact_tracers[(id(scene), 0, bucket)] = (scene, tracer)
+    vspec = vp.build_vol_spec(scene.objects[0], scene.geometry)
+    kern = lambda *a: vp.raymarch(vspec, *a, interpret=True)
+
+    futs = rt._trace_chunk_split_compact_start(scene, rf, cf)
+    # vol_chunk = 16 forces multiple raymarch batches through the
+    # pad/write-back loop.
+    out = rt._trace_chunk_split_compact_finish(scene, rf.size, futs, 16, kern)
+    assert out is not None, "compact bucket unexpectedly overflowed"
+    color_c, klass_c, stop_c, ovf_c = out
+
+    x, p = cam.pixel_rays(scene.camera, jnp.asarray(rf), jnp.asarray(cf))
+    ref = scn.trace_rays(scene, x, p)
+    stop_r = np.asarray(ref.stop_code)
+    assert (stop_r == stop_c).mean() >= 0.95
+    hit_r = np.asarray(ref.ray_class) == scn.HIT
+    hit_c = np.asarray(klass_c) == scn.HIT
+    assert hit_r.any()
+    assert (hit_r == hit_c).mean() >= 0.95
+    tone = lambda c: c / (1.0 + c)
+    both = (stop_r == stop_c) & (hit_r == hit_c)
+    err = np.abs(
+        tone(np.asarray(ref.color))[both] - tone(np.asarray(color_c))[both]
+    ).max(axis=-1)
+    # 2.5e-2: on top of the chord-vs-geodesic detection delta this path
+    # also swaps the lax LUT shading for the kernel's Chebyshev fits
+    # (~1% relative, ops/volumetric_pallas.py) — a write-back indexing bug
+    # scrambles whole pixels (tone err ~0.1-1), far above this bar.
+    assert err.mean() < 2.5e-2
