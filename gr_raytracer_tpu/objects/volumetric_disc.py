@@ -63,6 +63,13 @@ class VolumetricDisc(struct.PyTreeNode):
     step_size: jnp.ndarray
     num_octaves: int = struct.field(pytree_node=False)
     max_steps: int = struct.field(pytree_node=False)
+    # Reverse-differentiable raymarch (see raymarch): lax.while_loop has no
+    # reverse rule, so gradient work (fitting density_multiplier, optical
+    # depths, noise_offset, ...) opts into a cond-gated checkpointed-scan
+    # march instead — the same design as the geodesic integrator's
+    # differentiable=True path. Forward results are exact vs the while_loop
+    # (dead lanes are no-ops; the budget gate is replicated per step).
+    differentiable: bool = struct.field(pytree_node=False, default=False)
 
     # ------------------------------------------------------------------
     # Construction
@@ -88,6 +95,7 @@ class VolumetricDisc(struct.PyTreeNode):
         noise_scale=(1.0, 1.0, 1.0),
         noise_offset=0.0,
         dtype=None,
+        differentiable=False,
     ):
         if dtype is None:
             dtype = jnp.result_type(float)
@@ -122,6 +130,7 @@ class VolumetricDisc(struct.PyTreeNode):
             step_size=jnp.asarray(step_size, dtype),
             num_octaves=int(num_octaves),
             max_steps=int(max_steps),
+            differentiable=bool(differentiable),
         )
 
     # ------------------------------------------------------------------
@@ -332,7 +341,45 @@ class VolumetricDisc(struct.PyTreeNode):
                 i=c["i"] + 1,
             )
 
-        final = lax.while_loop(cond, body, carry0)
+        if self.differentiable:
+            # Reverse-differentiable march: while_loop has no reverse rule.
+            # Outer scan over segments, each segment a jax.checkpoint'ed
+            # inner scan of SEG steps (memory O(n_seg·carry + SEG·step
+            # intermediates) instead of O(max_steps·...)), with a cond gate
+            # skipping segments once every lane is done — the integrator's
+            # cond-gated checkpointed early exit, applied to the raymarch.
+            # The while cond's budget gate is replicated by freezing the
+            # carry once i >= max_steps, so the forward is EXACT vs the
+            # while_loop (dead lanes are no-ops in `body` by construction).
+            import jax
+
+            seg = min(256, self.max_steps)
+            n_seg = -(-self.max_steps // seg)
+            max_steps = self.max_steps
+
+            def body_gated(c):
+                c2 = body(c)
+                keep = c["i"] < max_steps
+                return jax.tree.map(
+                    lambda old, new: jnp.where(keep, new, old), c, c2
+                )
+
+            def run(cc):
+                def inner(c2, _):
+                    return body_gated(c2), None
+
+                c2, _ = lax.scan(inner, cc, None, length=seg)
+                return c2
+
+            def seg_step(c, _):
+                c = lax.cond(
+                    jnp.all(c["done"]), lambda cc: cc, jax.checkpoint(run), c
+                )
+                return c, None
+
+            final, _ = lax.scan(seg_step, carry0, None, length=n_seg)
+        else:
+            final = lax.while_loop(cond, body, carry0)
         physical_opacity = 1.0 - final["transparency"]
         texture_alpha = jnp.where(
             final["alpha_w_tot"] > 0.0,
