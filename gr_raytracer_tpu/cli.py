@@ -497,6 +497,11 @@ def main(argv=None):
     }
     dispatch[args.action](args, dtype)
     print(f"elapsed: {time.time() - t0:.2f}s", file=sys.stderr)
+    if os.environ.get("GR_SPLIT_TIMING") == "1":
+        from gr_raytracer_tpu.rendering import raytracer as rt
+
+        if rt.SPLIT_TIMING:
+            print(f"[split-timing] {rt.SPLIT_TIMING}", file=sys.stderr)
 
 
 if __name__ == "__main__":

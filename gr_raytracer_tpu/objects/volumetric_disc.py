@@ -42,6 +42,15 @@ MIN_INTERSECTION_T = 1e-9
 SATURATION_EPS = 1e-7
 DENSITY_VERTICAL_CUTOFF = 1e-3
 CAP_HEIGHT_SIGMAS = 3.0
+# Texture-alpha quotient gate: treat alpha_w_tot <= this as "nothing
+# emitted" (texture_alpha = 1), not just == 0. A lane grazing the inner-edge
+# boundary falloff accumulates femto-densities (wt ~ 1e-21); its physical
+# opacity is then <= ~1e-18 too, so the alpha changes by < 1e-18 — but the
+# ws/wt quotient's REVERSE rule divides by wt², which f32-underflows below
+# wt ~ 1e-19 and poisons the whole gradient block with inf·0
+# (ops/volumetric_adjoint.py). Applied identically in the lax epilogue, the
+# Pallas kernel epilogue, and combine_alpha so the three stay in lockstep.
+ALPHA_WT_MIN = 1e-18
 
 
 class VolumetricDisc(struct.PyTreeNode):
@@ -147,13 +156,19 @@ class VolumetricDisc(struct.PyTreeNode):
         vertical = jnp.exp(-((h / self.thickness) ** 2))
         inside = inside & (vertical >= DENSITY_VERTICAL_CUTOFF)
 
-        safe_r = jnp.where(r > 0.0, r, 1.0)
+        # Envelope radius floored at inner/2: value-neutral (density is
+        # identically zero for r <= inner via `inside`), but keeps the VJP
+        # of (inner/r)^1.5 — ∝ 1/r^2.5 — finite for on-axis samples, where
+        # it otherwise f32-overflows and 0·inf poisons reverse mode (same
+        # clamp as ops/volumetric_pallas._density; the kernel parity tests
+        # pin the two formulas together).
+        safe_r = jnp.maximum(r, jnp.maximum(0.5 * self.inner_radius, 1e-3))
         radial_base = jnp.power(self.inner_radius / safe_r, 1.5)
         # exp(a)·exp(b) = exp(a+b): one transcendental for both edge falloffs
         # (kept formula-identical with the Pallas kernel, ops/volumetric_pallas).
         boundary = jnp.exp(
-            -1.0 / jnp.maximum((self.outer_radius - r) ** 2, 1e-4)
-            - 1.0 / jnp.maximum((r - self.inner_radius) ** 2, 1e-4)
+            -1.0 / jnp.maximum((self.outer_radius - safe_r) ** 2, 1e-4)
+            - 1.0 / jnp.maximum((safe_r - self.inner_radius) ** 2, 1e-4)
         )
 
         x_loc = einsum("...i,i->...", p, self.e1)
@@ -382,8 +397,9 @@ class VolumetricDisc(struct.PyTreeNode):
             final = lax.while_loop(cond, body, carry0)
         physical_opacity = 1.0 - final["transparency"]
         texture_alpha = jnp.where(
-            final["alpha_w_tot"] > 0.0,
-            final["alpha_w_sum"] / jnp.where(final["alpha_w_tot"] > 0.0, final["alpha_w_tot"], 1.0),
+            final["alpha_w_tot"] > ALPHA_WT_MIN,
+            final["alpha_w_sum"]
+            / jnp.where(final["alpha_w_tot"] > ALPHA_WT_MIN, final["alpha_w_tot"], 1.0),
             1.0,
         )
         alpha = physical_opacity * texture_alpha

@@ -361,6 +361,30 @@ def supports(obj, geometry) -> bool:
 DENSITY_VERTICAL_CUTOFF = 1e-3
 
 
+class MedParams(NamedTuple):
+    """Traced medium parameters for the differentiable raymarch
+    (ops/volumetric_adjoint.py): the spec statics a gradient pass treats as
+    leaves. `None` fields fall back to the spec's static value, so the
+    production kernel is untouched."""
+
+    dm: object = None  # density_multiplier
+    off: object = None  # noise_offset
+    sa: object = None  # absorption
+    ss: object = None  # scattering
+    br: object = None  # brightness_reference_temperature
+
+
+def _med_or(spec: VolSpec, med):
+    """(dm, off, br) — traced values when given, spec statics otherwise."""
+    if med is None:
+        return spec.density_multiplier, spec.noise_offset, spec.brightness_ref
+    return (
+        spec.density_multiplier if med.dm is None else med.dm,
+        spec.noise_offset if med.off is None else med.off,
+        spec.brightness_ref if med.br is None else med.br,
+    )
+
+
 def _dot3(ax, ay, az, bx, by, bz):
     return ax * bx + ay * by + az * bz
 
@@ -369,8 +393,9 @@ def _cross3(ax, ay, az, bx, by, bz):
     return ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx
 
 
-def _density(spec: VolSpec, px, py, pz):
+def _density(spec: VolSpec, px, py, pz, med=None):
     """volumetric_disc.rs:97-152 / objects/volumetric_disc.py density()."""
+    dm, off, _ = _med_or(spec, med)
     axx, axy, axz = spec.axis
     h = jnp.abs(px * axx + py * axy + pz * axz)
     cx, cy, cz = _cross3(px, py, pz, axx, axy, axz)
@@ -380,13 +405,20 @@ def _density(spec: VolSpec, px, py, pz):
     vertical = jnp.exp(-((h / spec.thickness) ** 2))
     inside = inside & (vertical >= DENSITY_VERTICAL_CUTOFF)
 
-    safe_r = jnp.where(r > 0.0, r, 1.0)
+    # Envelope radius floored at inner/2: density is IDENTICALLY zero for
+    # r <= inner (the `inside` mask), so every consumer of the clamped
+    # branch is masked there and the forward is bit-identical — but the
+    # VJP of (inner/r)^1.5 is ∝ 1/r^2.5, which f32-overflows below
+    # r ~ 1e-8 (an on-axis sample — e.g. a padded/garbage event lane at
+    # the origin — sits at r = 1e-15), and inf·0 through the where-mask
+    # poisons the whole adjoint block (ops/volumetric_adjoint.py).
+    safe_r = jnp.maximum(r, jnp.maximum(0.5 * spec.inner, 1e-3))
     t_ratio = spec.inner / safe_r
     radial_base = t_ratio * jnp.sqrt(t_ratio)  # (inner/r)^1.5
     # exp(a)·exp(b) = exp(a+b): one transcendental for both edge falloffs.
     boundary = jnp.exp(
-        -1.0 / jnp.maximum((spec.outer - r) ** 2, 1e-4)
-        - 1.0 / jnp.maximum((r - spec.inner) ** 2, 1e-4)
+        -1.0 / jnp.maximum((spec.outer - safe_r) ** 2, 1e-4)
+        - 1.0 / jnp.maximum((safe_r - spec.inner) ** 2, 1e-4)
     )
 
     e1x, e1y, e1z = spec.e1
@@ -409,7 +441,7 @@ def _density(spec: VolSpec, px, py, pz):
         0.5,
     )
     n = n + 0.5 * noise.perlin3_lanes(key, r * 0.5, h * spec.noise_scale[2], cphi)
-    n = jnp.maximum(n + spec.noise_offset, 0.0) * spec.density_multiplier
+    n = jnp.maximum(n + off, 0.0) * dm
     return jnp.where(inside, n * radial_base * vertical * boundary, 0.0), r, cphi, sphi
 
 
@@ -473,7 +505,7 @@ def _texture_color(spec: VolSpec, u, v, temperature, redshift):
     return x, y, z, alpha
 
 
-def _sample_optics(spec: VolSpec, px, py, pz, obs_e, p_t, p_phi):
+def _sample_optics(spec: VolSpec, px, py, pz, obs_e, p_t, p_phi, med=None):
     """Per-sample optics at Cartesian position p — everything in the march
     body that does not touch the loop carry: density (fBm noise × radial/
     vertical envelopes), transport-free redshift, temperature, texture color
@@ -484,7 +516,7 @@ def _sample_optics(spec: VolSpec, px, py, pz, obs_e, p_t, p_phi):
     Returns (density, emit_ok, ex, ey, ez, lalpha): density unmasked by the
     carry's live flag (the caller gates), emit_ok the position-only emission
     condition, e* the intensity-scaled texture XYZ."""
-    density, r_axis, cphi, sphi = _density(spec, px, py, pz)
+    density, r_axis, cphi, sphi = _density(spec, px, py, pz, med)
     emitting = density > 0.0
 
     # Transport-free per-sample redshift (volumetric_disc.rs:252-258):
@@ -509,7 +541,8 @@ def _sample_optics(spec: VolSpec, px, py, pz, obs_e, p_t, p_phi):
     v_uv = 0.5 + 0.5 * r_norm * sphi
     lx, ly, lz, lalpha = _texture_color(spec, u_uv, v_uv, temperature, redshift)
 
-    t_ratio = temperature / spec.brightness_ref
+    _, _, br = _med_or(spec, med)
+    t_ratio = temperature / br
     t2 = t_ratio * t_ratio
     intensity = t2 * t2
     return density, emit_ok, intensity * lx, intensity * ly, intensity * lz, lalpha
@@ -520,25 +553,14 @@ def _sample_optics(spec: VolSpec, px, py, pz, obs_e, p_t, p_phi):
 # ---------------------------------------------------------------------------
 
 
-def _march_kernel(in_ref, out_ref, *, spec: VolSpec):
-    # Each per-ray variable is a native (SUB, VTILE) = (8, 128) block — one
-    # full f32 VPU tile per op. The previous rank-1 (T,) rows measured 1.64×
-    # slower on an identical ALU march (scripts/layout_probe.py): Mosaic lays
-    # a lane vector across lane tiles only, leaving sublanes idle.
-    data = in_ref[:, :]
-    var = lambda i: data[i * SUB : (i + 1) * SUB]
-    rox, roy, roz = var(0), var(1), var(2)
-    rdx, rdy, rdz = var(3), var(4), var(5)
-    obs_e = var(6)
-    p_t = var(7)
-    p_phi = var(8)
-    exit_d = var(9)
-    active = var(10) > 0.5
-    dtype = data.dtype
-
+def _march_bounds(spec: VolSpec, rox, roy, roz, rdx, rdy, rdz, exit_d, active, dtype):
+    """Shared march-clipping prologue: the possibly-emitting sample range
+    [k0·d_s, d_hi) plus the inner-hole crossing interval. Used by the
+    production kernel and the differentiable forward/backward kernels
+    (ops/volumetric_adjoint.py) — ONE implementation so the adjoint replays
+    the identical k-sequence. Returns (k0, d_hi, empty, i_lo, i_hi,
+    k_hole_exit)."""
     d_s = spec.step_size
-    sigma = spec.absorption + spec.scattering
-
     # ---- Exact march clipping (a beyond-the-reference lever) -------------
     # density() is IDENTICALLY zero outside (a) the vertical Gaussian band
     # |h| <= h_cut (hard DENSITY_VERTICAL_CUTOFF) and (b) the r < outer
@@ -595,6 +617,30 @@ def _march_kernel(in_ref, out_ref, *, spec: VolSpec):
     i_lo = jnp.where(enters_hole, (-qb - sq_i) / (2.0 * safe_qa) + d_s, big)
     i_hi = jnp.where(enters_hole, (-qb + sq_i) / (2.0 * safe_qa) - d_s, -big)
     k_hole_exit = jnp.ceil(i_hi / d_s)
+    return k0, d_hi, empty, i_lo, i_hi, k_hole_exit
+
+
+def _march_kernel(in_ref, out_ref, *, spec: VolSpec):
+    # Each per-ray variable is a native (SUB, VTILE) = (8, 128) block — one
+    # full f32 VPU tile per op. The previous rank-1 (T,) rows measured 1.64×
+    # slower on an identical ALU march (scripts/layout_probe.py): Mosaic lays
+    # a lane vector across lane tiles only, leaving sublanes idle.
+    data = in_ref[:, :]
+    var = lambda i: data[i * SUB : (i + 1) * SUB]
+    rox, roy, roz = var(0), var(1), var(2)
+    rdx, rdy, rdz = var(3), var(4), var(5)
+    obs_e = var(6)
+    p_t = var(7)
+    p_phi = var(8)
+    exit_d = var(9)
+    active = var(10) > 0.5
+    dtype = data.dtype
+
+    d_s = spec.step_size
+    sigma = spec.absorption + spec.scattering
+    k0, d_hi, empty, i_lo, i_hi, k_hole_exit = _march_bounds(
+        spec, rox, roy, roz, rdx, rdy, rdz, exit_d, active, dtype
+    )
 
     shape = rox.shape
     carry0 = (
@@ -674,7 +720,12 @@ def _march_kernel(in_ref, out_ref, *, spec: VolSpec):
     c_f = jax.lax.while_loop(cond, body, carry0)
     physical_opacity = 1.0 - c_f[1]
     tot = c_f[6]
-    texture_alpha = jnp.where(tot > 0.0, c_f[5] / jnp.where(tot > 0.0, tot, 1.0), 1.0)
+    # ALPHA_WT_MIN gate — see objects/volumetric_disc.py (gradient-safety
+    # floor on the quotient; alpha change < 1e-18).
+    from gr_raytracer_tpu.objects.volumetric_disc import ALPHA_WT_MIN
+
+    ok = tot > ALPHA_WT_MIN
+    texture_alpha = jnp.where(ok, c_f[5] / jnp.where(ok, tot, 1.0), 1.0)
     alpha = physical_opacity * texture_alpha
     out_ref[:, :] = jnp.concatenate([c_f[2], c_f[3], c_f[4], alpha], axis=0)
 

@@ -604,6 +604,95 @@ def make_fast_geo_compact_tracer(
     return jax.jit(body)
 
 
+def supports_vol_diff(scene) -> bool:
+    """Kernel-VJP coverage of the volumetric raymarch
+    (ops/volumetric_adjoint.py): the compact-wire scene shape — one z-axis
+    VolumetricDisc on a Kerr/KerrBL/Schwarzschild geometry with a
+    kernel-supported texture/temperature. Gradients flow to the 5 medium
+    parameters and to the per-lane ray inputs; the geodesic pass is treated
+    as locally constant (the bounding-volume crossing is parameter-
+    independent)."""
+    from gr_raytracer_tpu.ops import volumetric_pallas as vp
+
+    return (
+        isinstance(scene.geometry, (Kerr, KerrBL, Schwarzschild))
+        and len(scene.objects) == 1
+        and isinstance(scene.objects[0], VolumetricDisc)
+        and _vol_axis_is_z(scene.objects[0])
+        and vp.supports(scene.objects[0], scene.geometry)
+    )
+
+
+def make_fast_vol_diff_tracer(concrete_scene, bucket: int, interpret: bool = False):
+    """jitted (med5, scene, row_f, col_f) -> (color [N,4], ray_class [N]):
+    the differentiable volumetric trace (r4 verdict item 1 / BASELINE
+    config #5's gradient pass).
+
+    Pipeline: kernel geometric pass (stop_gradient — the bounding-volume
+    entry events do not move with the medium), on-device event compaction
+    (the compact-wire gather, make_fast_geo_compact_tracer), the
+    kernel-VJP raymarch over the ≤bucket packed event lanes
+    (ops/volumetric_adjoint.make_vol_march_diff) with the 5 medium
+    parameters `med5 = (density_multiplier, noise_offset, absorption,
+    scattering, brightness_ref)` as traced leaves, then the exact
+    fold_samples composite. jax.grad of a loss over `color` w.r.t. med5
+    runs forward AND backward as Pallas kernels."""
+    from gr_raytracer_tpu.ops import volumetric_adjoint as va
+    from gr_raytracer_tpu.ops import volumetric_pallas as vp
+    from gr_raytracer_tpu.rendering import camera as cam
+
+    if not supports_vol_diff(concrete_scene):
+        raise ValueError("scene shape unsupported by the volumetric kernel-VJP path")
+    spec = scene_kernel_spec(concrete_scene)
+    vspec = vp.build_vol_spec(concrete_scene.objects[0], concrete_scene.geometry)
+    march = va.make_vol_march_diff(vspec, interpret=interpret)
+    obj_index = 0
+
+    def body(med5, scene, row_f, col_f):
+        x, p = cam.pixel_rays(scene.camera, row_f, col_f)
+        g = trace_geometric_fast(scene, x, p, interpret=interpret, spec=spec)
+        g = jax.tree.map(jax.lax.stop_gradient, g)
+        n, k_slots = g.ev_kind.shape
+        flatm = (g.ev_kind == obj_index).reshape(-1)
+        order = jnp.argsort(~flatm, stable=True)[:bucket].astype(jnp.int32)
+        sel = flatm[order]
+        ev = g.ev_data.reshape(-1, g.ev_data.shape[-1])[order]
+        ray = order // k_slots
+        dtype = ev.dtype
+        # Benign substitution for non-event slots (the geodesic adjoint's
+        # convention): their ev payload is zeros, which puts the lane ON
+        # THE DISC AXIS — a masked no-op forward, but 0·inf NaN-poisons the
+        # backward's density vjp. Park them outside the bounding volume.
+        outer = scene.objects[obj_index].outer_radius
+        safe_ro = jnp.stack([outer * 4.0, jnp.zeros_like(outer), jnp.zeros_like(outer)])
+        ro = jnp.where(sel[:, None], ev[:, 0:3], safe_ro.astype(dtype))
+        seg = ev[:, 9:12]
+        norm = jnp.maximum(jnp.sqrt(jnp.sum(seg * seg, -1, keepdims=True)), 1e-30)
+        rd = jnp.where(
+            sel[:, None], seg / norm, jnp.asarray([1.0, 0.0, 0.0], dtype)
+        )
+        ed = scene.objects[obj_index].exit_distance(ro, rd)
+        ed = jnp.where(sel, jax.lax.stop_gradient(ed), 0.0)
+        acc, t_fin, ws, wt = march(
+            med5[0], med5[1], med5[2], med5[3], med5[4],
+            ro, rd, g.observer_energy[ray], g.p_t[ray], g.p_phi[ray],
+            sel.astype(ro.dtype), ed,
+        )
+        xyza = va.combine_alpha(acc, t_fin, ws, wt)
+        xyza = jnp.where(sel[:, None], xyza, 0.0)
+        colors = (
+            jnp.zeros((n * k_slots, 4), xyza.dtype).at[order].set(xyza)
+            .reshape(n, k_slots, 4)
+        )
+        color, ray_class = scn.fold_samples(
+            scene, g.ev_kind, colors, g.stop_code, g.celestial
+        )
+        overflow = (flatm.sum() > bucket) | jnp.any(g.ev_overflow)
+        return color, ray_class, overflow
+
+    return jax.jit(body)
+
+
 def make_fast_geo_tracer(concrete_scene):
     """jitted (scene, row_f, col_f) -> GeoTrace with the kernel spec baked
     static (see make_fast_tracer). Unsharded only — the split path's

@@ -464,6 +464,30 @@ def _trace_chunk_split_compact_start(scene, rf, cf):
     )
 
 
+# Opt-in per-phase wall-clock accounting for the compact split driver
+# (GR_SPLIT_TIMING=1): accumulated across chunks, printed by the CLI at the
+# end of a render and dumped by scripts/hero_decomp.py. Keys:
+#   geo_drain      device_get of the compact geometric pass (includes any
+#                  not-yet-finished march time when the pipeline didn't
+#                  fully hide it + the ~5 MB compact wire transfer)
+#   sort           host-side march_length sort + gathers
+#   rm_dispatch    raymarch batch enqueue (host→device upload + dispatch)
+#   rm_fetch       raymarch result device_get (march wall not hidden by
+#                  the dispatch pipeline + [chunk,4] transfers)
+#   fold           host-CPU fold_samples composite
+#   scatter        ev_colors scatter
+SPLIT_TIMING: dict = {}
+_SPLIT_TIMING_ON = os.environ.get("GR_SPLIT_TIMING") == "1"
+
+
+def _t_acc(key, t0):
+    t1 = time.perf_counter()
+    SPLIT_TIMING[key] = SPLIT_TIMING.get(key, 0.0) + (t1 - t0)
+    n_key = "n_" + key
+    SPLIT_TIMING[n_key] = SPLIT_TIMING.get(n_key, 0) + 1
+    return t1
+
+
 def _trace_chunk_split_compact_finish(scene, n, futs, vol_chunk, kernel):
     """Drain a dispatched compact chunk and raymarch its event lanes.
     Returns None if the chunk's events overflow the compact bucket (caller
@@ -473,8 +497,12 @@ def _trace_chunk_split_compact_finish(scene, n, futs, vol_chunk, kernel):
 
     from gr_raytracer_tpu.ops import volumetric_pallas as vp
 
+    timing = _SPLIT_TIMING_ON
+    t0 = time.perf_counter() if timing else 0.0
     obj = scene.objects[0]
     cel, kind8, stop8, ovf, packed, order, count = jax.device_get(futs)
+    if timing:
+        t0 = _t_acc("geo_drain", t0)
     count = int(count)
     if count > 2 * n:
         return None
@@ -486,6 +514,8 @@ def _trace_chunk_split_compact_finish(scene, n, futs, vol_chunk, kernel):
     ro, rd, obs, ptv, ppv, ed, order = (
         a[lane_order] for a in (ro, rd, obs, ptv, ppv, ed, order)
     )
+    if timing:
+        t0 = _t_acc("sort", t0)
     k_slots = int(kind8.shape[1])
     ev_colors = np.zeros((n, k_slots, 4), np.float32)
     # Dispatch every raymarch batch before fetching any: jax dispatch is
@@ -515,10 +545,18 @@ def _trace_chunk_split_compact_finish(scene, n, futs, vol_chunk, kernel):
                 ),
             )
         )
+    if timing:
+        SPLIT_TIMING["rm_batches"] = SPLIT_TIMING.get("rm_batches", 0) + len(batches)
+        SPLIT_TIMING["rm_lanes"] = SPLIT_TIMING.get("rm_lanes", 0) + count
+        t0 = _t_acc("rm_dispatch", t0)
     for start, end, m, fut in batches:
         out = jax.device_get(fut)
+        if timing:
+            t0 = _t_acc("rm_fetch", t0)
         sl = order[start:end]
         ev_colors[sl // k_slots, sl % k_slots] = out[:m]
+        if timing:
+            t0 = _t_acc("scatter", t0)
     kind = kind8.astype(np.int32)
     stop = stop8.astype(np.int32)
     # Fold on the host CPU backend when present (the CLI enables it): the
@@ -538,6 +576,8 @@ def _trace_chunk_split_compact_finish(scene, n, futs, vol_chunk, kernel):
             jnp.asarray(cel),
         )
         color, klass = np.asarray(color), np.asarray(klass)
+    if timing:
+        _t_acc("fold", t0)
     return color, klass, stop, np.asarray(ovf)
 
 

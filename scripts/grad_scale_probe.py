@@ -106,6 +106,17 @@ def main():
     ap.add_argument("--bl", action="store_true",
                     help="also measure the BL/Mino kernel-VJP (KerrBL grad "
                     "step + spin recovery at 128²)")
+    ap.add_argument("--vol", action="store_true",
+                    help="volumetric kernel-VJP stanza: value_and_grad of "
+                    "the kerr-volumetric-streaky scene at --vol-size² + a "
+                    "medium-parameter (density_multiplier, absorption) fit")
+    ap.add_argument("--vol-size", type=int, default=256)
+    ap.add_argument("--vol-fit-steps", type=int, default=60)
+    ap.add_argument("--skip-base", action="store_true",
+                    help="skip the base grad_step/inverse_fit stanzas")
+    ap.add_argument("--merge", action="store_true",
+                    help="merge stanzas into the existing gradient_bench.json"
+                    " (keep stanzas this run does not recompute)")
     args = ap.parse_args()
 
     cfgmod.enable_host_cpu_platform()
@@ -120,30 +131,32 @@ def main():
     }
 
     # --- one production-scale gradient step --------------------------------
-    params = presets.kerr_flagship_params(dtype)
-    _, loss = make_loss(
-        args.rows, args.cols, args.steps, args.checkpoint_block, dtype, kernel=args.kernel
-    )
-    vg = jax.jit(jax.value_and_grad(loss))
-    t0 = time.perf_counter()
-    val, grads = jax.device_get(vg(params))
-    compile_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    val, grads = jax.device_get(vg(params))
-    step_s = time.perf_counter() - t0
-    finite = all(bool(np.isfinite(np.asarray(g)).all()) for g in grads.values())
-    out["grad_step"] = {
-        "compile_s": round(compile_s, 1),
-        "wall_clock_s": round(step_s, 2),
-        "loss": float(val),
-        "grads_finite": finite,
-        "dloss_da": float(np.asarray(grads["a"])),
-        "dloss_dradius": float(np.asarray(grads["radius"])),
-    }
-    print(f"[grad] {out['grad_step']}", flush=True)
+    if not args.skip_base:
+        params = presets.kerr_flagship_params(dtype)
+        _, loss = make_loss(
+            args.rows, args.cols, args.steps, args.checkpoint_block, dtype,
+            kernel=args.kernel,
+        )
+        vg = jax.jit(jax.value_and_grad(loss))
+        t0 = time.perf_counter()
+        val, grads = jax.device_get(vg(params))
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        val, grads = jax.device_get(vg(params))
+        step_s = time.perf_counter() - t0
+        finite = all(bool(np.isfinite(np.asarray(g)).all()) for g in grads.values())
+        out["grad_step"] = {
+            "compile_s": round(compile_s, 1),
+            "wall_clock_s": round(step_s, 2),
+            "loss": float(val),
+            "grads_finite": finite,
+            "dloss_da": float(np.asarray(grads["a"])),
+            "dloss_dradius": float(np.asarray(grads["radius"])),
+        }
+        print(f"[grad] {out['grad_step']}", flush=True)
 
     # --- inverse fit at the same resolution --------------------------------
-    if not args.no_fit:
+    if not args.no_fit and not args.skip_base:
         from gr_raytracer_tpu import inverse
 
         # Sub-extremal spins: the flagship convention is r_s = 1 (M = 0.5),
@@ -358,9 +371,120 @@ def main():
         }
         print(f"[bl-fit] {out['bl_inverse_fit']}", flush=True)
 
+    # --- volumetric kernel-VJP stanza (r4 verdict item 1 / BASELINE #5) ----
+    if args.vol:
+        import optax
+
+        from gr_raytracer_tpu.rendering import fast_path
+        from gr_raytracer_tpu.utils import assets
+
+        size = args.vol_size
+        vcfg = cfgmod.load_config(assets.scene_path("kerr-volumetric-streaky.toml"))
+        # Hero #5's exact camera/integration options (BASELINE.md config #5)
+        # at --vol-size resolution.
+        vopts = cfgmod.RenderOptions(
+            width=size, height=size, max_steps=20000,
+            camera_position=(-10.0, 0.0, -0.5), theta=1.52, psi=-1.57,
+        )
+        vscene = cfgmod.create_scene_host(vcfg, vopts, dtype)
+        assert fast_path.supports_vol_diff(vscene)
+        rrv, ccv = jnp.meshgrid(
+            jnp.arange(size, dtype=dtype), jnp.arange(size, dtype=dtype),
+            indexing="ij",
+        )
+        rfv, cfv = rrv.ravel(), ccv.ravel()
+        # Bucket 2N: the driver's compact-wire sizing (raytracer.py) — band
+        # chunks average >1 crossing/lane.
+        tracer = fast_path.make_fast_vol_diff_tracer(vscene, bucket=2 * size * size)
+        obj = vscene.objects[0]
+        med_true = tuple(
+            jnp.asarray(v, dtype)
+            for v in (obj.density_multiplier, obj.noise_offset, obj.absorption,
+                      obj.scattering, obj.brightness_reference_temperature)
+        )
+
+        def vol_render(med):
+            color, _, _ = tracer(med, vscene, rfv, cfv)
+            return color
+
+        def vol_loss(med):
+            c = vol_render(med)[..., :3]
+            return jnp.mean(jnp.log1p(jnp.maximum(c, 0.0)))
+
+        vgv = jax.jit(jax.value_and_grad(vol_loss))
+        t0 = time.perf_counter()
+        vv, gv = jax.device_get(vgv(med_true))
+        vol_compile = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        vv, gv = jax.device_get(vgv(med_true))
+        vol_step = time.perf_counter() - t0
+        g_named = dict(zip(
+            ("density_multiplier", "noise_offset", "absorption", "scattering",
+             "brightness_ref"), (float(np.asarray(g)) for g in gv)))
+        out["volumetric"] = {
+            "scene": f"kerr-volumetric-streaky.toml {size}x{size} "
+                     f"(hero #5 camera, 50k-step/0.0002 raymarch)",
+            "reverse_mode": "kernel-vjp (make_vol_march_diff — forward-order "
+                            "suffix-sum backward, O(1) memory)",
+            "compile_s": round(vol_compile, 1),
+            "wall_clock_s": round(vol_step, 2),
+            "loss": float(vv),
+            "grads_finite": all(np.isfinite(v) for v in g_named.values()),
+            "grads": {k: float(f"{v:.6g}") for k, v in g_named.items()},
+        }
+        print(f"[vol-grad] {out['volumetric']}", flush=True)
+
+        # Medium-parameter recovery: density_multiplier + absorption from a
+        # mis-initialized start, log-reparametrized (both positive scales).
+        dm_true, ab_true = float(med_true[0]), float(med_true[2])
+        dm_init, ab_init = dm_true * 0.6, ab_true * 2.0
+
+        def vol_render_p(p):
+            med = (jnp.exp(p["log_dm"]), med_true[1], jnp.exp(p["log_ab"]),
+                   med_true[3], med_true[4])
+            return vol_render(med)
+
+        from gr_raytracer_tpu import inverse
+
+        target_v = jax.device_get(jax.jit(vol_render_p)(
+            {"log_dm": jnp.asarray(np.log(dm_true), dtype),
+             "log_ab": jnp.asarray(np.log(ab_true), dtype)}))
+        t0 = time.perf_counter()
+        fitted_v, losses_v = inverse.fit(
+            vol_render_p,
+            {"log_dm": jnp.asarray(np.log(dm_init), dtype),
+             "log_ab": jnp.asarray(np.log(ab_init), dtype)},
+            target_v,
+            trainable=("log_dm", "log_ab"),
+            steps=args.vol_fit_steps,
+            optimizer=optax.adam(
+                optax.cosine_decay_schedule(5e-2, args.vol_fit_steps, 0.02)
+            ),
+        )
+        fitv_s = time.perf_counter() - t0
+        dm_rec = float(np.exp(np.asarray(fitted_v["log_dm"])))
+        ab_rec = float(np.exp(np.asarray(fitted_v["log_ab"])))
+        out["volumetric"]["fit"] = {
+            "params": ["density_multiplier", "absorption"],
+            "true": [dm_true, ab_true],
+            "init": [dm_init, ab_init],
+            "recovered": [round(dm_rec, 2), round(ab_rec, 5)],
+            "rel_errors": [round(abs(dm_rec - dm_true) / dm_true, 5),
+                           round(abs(ab_rec - ab_true) / ab_true, 5)],
+            "steps": args.vol_fit_steps,
+            "loss_first": losses_v[0], "loss_last": losses_v[-1],
+            "wall_clock_s": round(fitv_s, 1),
+        }
+        print(f"[vol-fit] {out['volumetric']['fit']}", flush=True)
+
     path = args.out or os.path.join(
         os.path.dirname(__file__), "..", "docs", "gradient_bench.json"
     )
+    if args.merge and os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
+        prev.update(out)
+        out = prev
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"wrote {path}")

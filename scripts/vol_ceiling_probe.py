@@ -215,6 +215,64 @@ def run(spec, mode, tile, n, steps, repeats=3):
     return rate
 
 
+VPU_F32_PEAK = 7.1e12  # v5e VPU f32 FLOP/s estimate (BASELINE.md march roofline)
+
+
+def utilization_block(spec, rates):
+    """March-style utilization (r4 verdict item 3): XLA-counted FLOPs of the
+    EXACT per-sample expression (same code object the kernel runs) × the
+    measured sample rates ÷ the VPU f32 peak. This replaces the term-
+    ablation decomposition as the scoreboard argument — patching terms out
+    of a latency-hiding serial mix can make the kernel SLOWER (r4's
+    committed artifact showed advance 558 M < full 698 M), so ablation
+    deltas are not costs. The caveat that counted FLOPs under-weigh
+    transcendentals (exp/rsqrt/divide occupy multiple VPU passes per
+    counted FLOP, and this expression is transcendental-dense: fBm hash
+    floors + exp envelopes + Clenshaw + exp) carries over from the march
+    roofline verbatim."""
+    n = 1024
+
+    def one_sample(args):
+        px, py, pz, obs_e, p_t, p_phi, tr = args
+        d_s = spec.step_size
+        sigma = spec.absorption + spec.scattering
+        density, emit_ok, ex, ey, ez, lalpha = vp._sample_optics(
+            spec, px, py, pz, obs_e, p_t, p_phi
+        )
+        attenuation = jnp.exp(-d_s * density * sigma)
+        tr_new = tr * attenuation
+        weight = tr_new * attenuation * spec.scattering * density * d_s
+        emit_f = jnp.where(emit_ok, 1.0, 0.0)
+        alpha_w = jnp.where(emit_ok, density * d_s, 0.0)
+        return (
+            tr_new,
+            weight * emit_f * ex,
+            weight * emit_f * ey,
+            weight * emit_f * ez,
+            jnp.clip(lalpha, 0.0, 1.0) * alpha_w,
+        )
+
+    shp = jax.ShapeDtypeStruct((n,), jnp.float32)
+    compiled = jax.jit(one_sample).lower((shp,) * 7).compile()
+    ca = compiled.cost_analysis()
+    ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+    flops_sample = float(ca["flops"]) / n
+    out = {
+        "flops_per_sample_xla": round(flops_sample, 1),
+        "vpu_f32_peak_est": VPU_F32_PEAK,
+        "pct_of_peak": {
+            k: round(100.0 * flops_sample * v / VPU_F32_PEAK, 1)
+            for k, v in rates.items()
+        },
+        "note": "counted-FLOP utilization; transcendental-dense expression "
+        "(fBm hash floors, exp envelopes, Clenshaw, exp) occupies multiple "
+        "VPU passes per counted FLOP, same caveat as the march roofline",
+    }
+    print(f"[utilization] {out['flops_per_sample_xla']} FLOPs/sample (XLA), "
+          f"pct_of_peak={out['pct_of_peak']}")
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=2000)
@@ -222,6 +280,9 @@ def main():
     ap.add_argument("--tile", type=int, default=1024)
     ap.add_argument("--modes", default="full,no_tex,no_noise,no_both,noise_only,advance")
     ap.add_argument("--json", default=None)
+    ap.add_argument("--vol-sustained", type=float, default=None,
+                    help="production-kernel samples/s (bench.py vol_sustained) "
+                    "to include in the utilization block")
     args = ap.parse_args()
     spec = build_spec()
     print(
@@ -240,6 +301,10 @@ def main():
                 continue
             saved = full_t - 1.0 / r
             print(f"  full - {mode:10s}: {saved / full_t * 100:6.1f}% of the sample")
+    util_rates = dict(rates)
+    if args.vol_sustained:
+        util_rates["production_vol_sustained"] = args.vol_sustained
+    util = utilization_block(spec, util_rates)
     if args.json:
         with open(args.json, "w") as f:
             json.dump(
@@ -249,6 +314,7 @@ def main():
                     "steps": args.steps,
                     "tile": args.tile,
                     "samples_per_s": {k: round(v, 1) for k, v in rates.items()},
+                    "utilization": util,
                 },
                 f,
                 indent=1,
