@@ -337,6 +337,48 @@ def march_length(obj, ro, rd, exit_d):
     return np.maximum(d_hi - d_lo - hole, 0.0)
 
 
+def march_length_jnp(obj, ro, rd, exit_d):
+    """Device-side twin of march_length (jnp, [N] lanes): the block-
+    assignment sort key for the fused split tracer
+    (fast_path.make_fast_vol_fused_tracer), so the sort no longer forces a
+    host round-trip. Same |h|-band ∩ r<outer ∩ hole-subtraction math;
+    parity vs the numpy version is pinned by tests/test_volumetric_pallas."""
+    axis = jnp.asarray(obj.axis, ro.dtype)
+    d_s = obj.step_size
+    h_cut = obj.thickness * math.sqrt(math.log(1.0 / DENSITY_VERTICAL_CUTOFF))
+    h0 = ro @ axis
+    dh = rd @ axis
+    big = jnp.asarray(jnp.inf, ro.dtype)
+    flat = jnp.abs(dh) <= 1e-12
+    safe_dh = jnp.where(flat, 1.0, dh)
+    ta = (-h_cut - h0) / safe_dh
+    tb = (h_cut - h0) / safe_dh
+    in_band = jnp.abs(h0) <= h_cut
+    h_lo = jnp.where(flat, jnp.where(in_band, 0.0, big), jnp.minimum(ta, tb))
+    h_hi = jnp.where(flat, jnp.where(in_band, big, -big), jnp.maximum(ta, tb))
+    qa = 1.0 - dh * dh
+    qb = 2.0 * (jnp.sum(ro * rd, axis=-1) - h0 * dh)
+    qc = jnp.sum(ro * ro, axis=-1) - h0 * h0 - obj.outer_radius**2
+    qdisc = qb * qb - 4.0 * qa * qc
+    degen = qa <= 1e-8
+    sq = jnp.sqrt(jnp.maximum(qdisc, 0.0))
+    safe_qa = jnp.where(degen, 1.0, qa)
+    miss = (~degen) & (qdisc < 0.0)
+    r_lo = jnp.where(degen, 0.0, jnp.where(miss, big, (-qb - sq) / (2.0 * safe_qa)))
+    r_hi = jnp.where(degen, big, jnp.where(miss, -big, (-qb + sq) / (2.0 * safe_qa)))
+    d_budget = obj.max_steps * d_s
+    d_lo = jnp.maximum(jnp.maximum(h_lo, r_lo), 0.0)
+    d_hi = jnp.minimum(jnp.minimum(h_hi, r_hi) + d_s, jnp.minimum(exit_d, d_budget))
+    qc_i = qc + (obj.outer_radius**2 - obj.inner_radius**2)
+    qd_i = qb * qb - 4.0 * qa * qc_i
+    enters = (~degen) & (qd_i > 0.0)
+    sq_i = jnp.sqrt(jnp.maximum(qd_i, 0.0))
+    i_lo = jnp.where(enters, (-qb - sq_i) / (2.0 * safe_qa), big)
+    i_hi = jnp.where(enters, (-qb + sq_i) / (2.0 * safe_qa), -big)
+    hole = jnp.maximum(jnp.minimum(i_hi, d_hi) - jnp.maximum(i_lo, d_lo), 0.0)
+    return jnp.maximum(d_hi - d_lo - hole, 0.0)
+
+
 def supports(obj, geometry) -> bool:
     """Kernel coverage: Kerr/KerrBL/Schwarzschild geometry (one BL-radius
     formula covers all three at their own spin), blackbody or checker

@@ -693,6 +693,100 @@ def make_fast_vol_diff_tracer(concrete_scene, bucket: int, interpret: bool = Fal
     return jax.jit(body)
 
 
+def make_fast_vol_fused_tracer(
+    concrete_scene, bucket: int, mesh=None, interpret: bool = False
+):
+    """jitted (scene, row_f, col_f) -> (_wire(color, class, stop, ovf),
+    count): the WHOLE volumetric split chunk on device — geometric kernel
+    pass, event compaction, march-length sort, ONE raymarch dispatch over
+    the full bucket, scatter, fold. The r4 compact wire still round-tripped
+    the packed lanes to the host for the sort and re-uploaded them in
+    VOLUMETRIC_LANE_CHUNK batches; GR_SPLIT_TIMING on the 300² hero slice
+    showed that re-upload (rm_dispatch, 6.7 s) as the largest split phase —
+    larger than the geo drain itself. Fusing keeps everything on device and
+    ships only the folded _wire (~1 MB/chunk vs ~5 MB compact /
+    ~35 MB full GeoTrace).
+
+    `count` > bucket means the chunk overflowed the compact gather (rays
+    averaged >2 crossings) — caller falls back to the full-wire path.
+
+    With `mesh`, the body is shard_map-ed over the 1-D ray mesh (the
+    pallas kernels need explicit sharding — no GSPMD rule): each device
+    compacts and marches its own shard with a bucket of
+    2·(chunk/n_devices); zero collectives. This closes the r4 gap where
+    the fastest volumetric driver silently disengaged under --devices."""
+    from gr_raytracer_tpu.ops import volumetric_pallas as vp
+    from gr_raytracer_tpu.rendering import camera as cam
+    from gr_raytracer_tpu.rendering.raytracer import _wire
+
+    if not supports_scene(concrete_scene):
+        raise ValueError("scene shape unsupported by the pallas fast path")
+    spec = scene_kernel_spec(concrete_scene)
+    vspec = vp.build_vol_spec(concrete_scene.objects[0], concrete_scene.geometry)
+    obj_index = 0
+    n_dev = 1 if mesh is None else int(mesh.devices.size)
+    shard_bucket = -(-bucket // n_dev)
+
+    def body(scene, row_f, col_f):
+        x, p = cam.pixel_rays(scene.camera, row_f, col_f)
+        g = trace_geometric_fast(scene, x, p, interpret=interpret, spec=spec)
+        n, k_slots = g.ev_kind.shape
+        dtype = g.ev_data.dtype
+        flatm = (g.ev_kind == obj_index).reshape(-1)
+        order = jnp.argsort(~flatm, stable=True)[:shard_bucket].astype(jnp.int32)
+        sel = flatm[order]
+        ev = g.ev_data.reshape(-1, g.ev_data.shape[-1])[order]
+        ray = order // k_slots
+        obj = scene.objects[obj_index]
+        outer = obj.outer_radius
+        safe_ro = jnp.stack(
+            [outer * 4.0, jnp.zeros_like(outer), jnp.zeros_like(outer)]
+        ).astype(dtype)
+        ro = jnp.where(sel[:, None], ev[:, 0:3], safe_ro)
+        seg = ev[:, 9:12]
+        norm = jnp.maximum(jnp.sqrt(jnp.sum(seg * seg, -1, keepdims=True)), 1e-30)
+        rd = jnp.where(sel[:, None], seg / norm, jnp.asarray([1.0, 0.0, 0.0], dtype))
+        ed = jnp.where(sel, obj.exit_distance(ro, rd), 0.0)
+        # Device-side block-assignment sort (short marches share a kernel
+        # block); inactive lanes to the back.
+        ml = jnp.where(sel, vp.march_length_jnp(obj, ro, rd, ed), jnp.inf)
+        ord2 = jnp.argsort(ml).astype(jnp.int32)
+        out = vp.raymarch(
+            vspec,
+            ro[ord2], rd[ord2],
+            g.observer_energy[ray][ord2], g.p_t[ray][ord2], g.p_phi[ray][ord2],
+            sel[ord2], ed[ord2],
+            interpret=interpret,
+        )
+        xyza = jnp.zeros((shard_bucket, 4), out.dtype).at[ord2].set(out)
+        xyza = jnp.where(sel[:, None], xyza, 0.0)
+        colors = (
+            jnp.zeros((n * k_slots, 4), xyza.dtype).at[order].set(xyza)
+            .reshape(n, k_slots, 4)
+        )
+        color, klass = scn.fold_samples(
+            scene, g.ev_kind, colors, g.stop_code, g.celestial
+        )
+        count = flatm.sum().astype(jnp.int32).reshape(1)
+        return _wire(color, klass, g.stop_code, g.ev_overflow) + (count,)
+
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        from gr_raytracer_tpu.parallel import mesh as pmesh
+
+        axis = mesh.axis_names[0]
+        scene_specs = jax.tree.map(lambda _: P(), concrete_scene)
+        body = pmesh.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(scene_specs, P(axis), P(axis)),
+            out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+        )
+
+    return jax.jit(body)
+
+
 def make_fast_geo_tracer(concrete_scene):
     """jitted (scene, row_f, col_f) -> GeoTrace with the kernel spec baked
     static (see make_fast_tracer). Unsharded only — the split path's

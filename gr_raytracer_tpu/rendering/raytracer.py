@@ -425,6 +425,67 @@ def _compact_split_eligible(scene, put=jnp.asarray) -> bool:
     return kernel is not None
 
 
+def _fused_split_eligible(scene) -> bool:
+    """Fused split gate (fast_path.make_fast_vol_fused_tracer): kernel
+    path, single volumetric object, raymarch kernel available. Unlike the
+    r4 compact wire this path also serves sharded drivers (the whole chunk
+    is one jit, shard_map-able)."""
+    if (
+        os.environ.get("GR_COMPACT_FUSED", "1") == "0"
+        or not _use_fast_path(scene)
+        or len(scene.objects) != 1
+        or not hasattr(scene.objects[0], "raymarch")
+    ):
+        return False
+    _, kernel = _vol_kernel_fn(scene.objects[0], scene.geometry)
+    return kernel is not None
+
+
+_fused_tracers: dict = {}
+
+
+def _trace_chunk_split_fused_start(scene, rf, cf, put, mesh, bucket):
+    """Dispatch one fused split chunk (device-side compact+sort+march+fold,
+    fast_path.make_fast_vol_fused_tracer) without draining it."""
+    from gr_raytracer_tpu.rendering import fast_path
+
+    key = (id(scene), id(mesh), int(bucket))
+    entry = _fused_tracers.get(key)
+    if entry is None or entry[0] is not scene:
+        if len(_fused_tracers) > 8:
+            _fused_tracers.clear()
+        entry = _fused_tracers[key] = (
+            scene,
+            fast_path.make_fast_vol_fused_tracer(scene, bucket, mesh=mesh),
+        )
+    return entry[1](scene, put(rf), put(cf))
+
+
+def _trace_chunk_split_fused_finish(scene, futs, mesh, bucket, rf, cf, put):
+    """Drain a fused chunk. On compact-bucket overflow (a disc-band AA
+    chunk averaging >bucket/n crossings per sub-ray) retry the SAME fused
+    tracer at double the bucket — one extra (cached) compile per size, far
+    cheaper than the host-compact/full-wire fallback; the unfused path
+    remains the final resort."""
+    timing = _SPLIT_TIMING_ON
+    t0 = time.perf_counter() if timing else 0.0
+    c, k, stop, ovf, count = (np.asarray(a) for a in jax.device_get(futs))
+    if timing:
+        _t_acc("fused_drain", t0)
+    n_dev = 1 if mesh is None else int(mesh.devices.size)
+    if (count > -(-bucket // n_dev)).any():
+        retry = 2 * bucket
+        # K_EVENTS caps per-ray crossings, so bucket K·n always suffices.
+        k_slots = scene.integration.max_events
+        if retry < k_slots * rf.size:
+            futs2 = _trace_chunk_split_fused_start(scene, rf, cf, put, mesh, retry)
+            return _trace_chunk_split_fused_finish(
+                scene, futs2, mesh, retry, rf, cf, put
+            )
+        return _trace_chunk_split(scene, rf, cf, put=put)
+    return c, k, stop, ovf
+
+
 _geo_compact_tracers: dict = {}
 
 
@@ -868,8 +929,10 @@ def trace_pixels_chunked(
     # host between chunks); the full-wire split and requeue drivers
     # synchronize with the host between internal phases, so they drain
     # in-line.
+    fused_pipe = split and _fused_split_eligible(scene)
     compact_pipe = (
         split
+        and not fused_pipe
         and os.environ.get("GR_COMPACT_PIPE", "1") != "0"
         and _compact_split_eligible(scene, put)
     )
@@ -879,15 +942,20 @@ def trace_pixels_chunked(
 
     def _drain_compact(chunk):
         start, end, m, rf, cf, futs = chunk
-        out = _trace_chunk_split_compact_finish(
-            scene, rf.size, futs, VOLUMETRIC_LANE_CHUNK, kernel_c
-        )
-        if out is None:
-            # Compact bucket overflowed (rays averaged >2 crossings):
-            # rerun this chunk through _trace_chunk_split, which re-attempts
-            # compact and then takes the full wire — one wasted geo pass on
-            # a rare chunk.
-            out = _trace_chunk_split(scene, rf, cf, put=put)
+        if fused_pipe:
+            out = _trace_chunk_split_fused_finish(
+                scene, futs, mesh, 2 * rf.size, rf, cf, put
+            )
+        else:
+            out = _trace_chunk_split_compact_finish(
+                scene, rf.size, futs, VOLUMETRIC_LANE_CHUNK, kernel_c
+            )
+            if out is None:
+                # Compact bucket overflowed (rays averaged >2 crossings):
+                # rerun this chunk through _trace_chunk_split, which
+                # re-attempts compact and then takes the full wire — one
+                # wasted geo pass on a rare chunk.
+                out = _trace_chunk_split(scene, rf, cf, put=put)
         _drain((start, end, m, rf, cf, out))
 
     for start in range(resume_at, n, chunk_size):
@@ -897,6 +965,13 @@ def trace_pixels_chunked(
         cf = np.full((chunk_size,), col_f[0], dtype)
         rf[:m] = row_f[start:end]
         cf[:m] = col_f[start:end]
+        if fused_pipe:
+            nxt = (start, end, m, rf, cf,
+                   _trace_chunk_split_fused_start(scene, rf, cf, put, mesh, 2 * chunk_size))
+            if pending_c is not None:
+                _drain_compact(pending_c)
+            pending_c = nxt
+            continue
         if compact_pipe:
             nxt = (start, end, m, rf, cf, _trace_chunk_split_compact_start(scene, rf, cf))
             if pending_c is not None:

@@ -667,3 +667,99 @@ def test_compact_split_driver_matches_lax_parity():
     # (~1% relative, ops/volumetric_pallas.py) — a write-back indexing bug
     # scrambles whole pixels (tone err ~0.1-1), far above this bar.
     assert err.mean() < 2.5e-2
+
+
+def test_fused_split_tracer_matches_compact_and_shards():
+    """The fused on-device split tracer (fast_path.make_fast_vol_fused_tracer
+    — geo pass + compaction + march-length sort + one raymarch + fold in a
+    single jit) must (a) match the compact-wire driver's output at the
+    kernel-parity tolerances, and (b) produce the SAME frame on a 2-device
+    mesh (shard_map) as on one device — the r4 gap where the fastest
+    volumetric driver silently disengaged under --devices (raytracer.rs:218
+    / SURVEY §2.5: the parallelism contract covers all workloads)."""
+    import sys
+
+    import jax
+
+    sys.path.insert(0, "tests")
+    from test_pallas import KERR_VOLUMETRIC_SCENE
+
+    from jax.sharding import Mesh
+
+    from gr_raytracer_tpu import config as cfgmod
+    from gr_raytracer_tpu.ops import volumetric_pallas as vp
+    from gr_raytracer_tpu.rendering import fast_path
+
+    cfg = cfgmod.parse_config(KERR_VOLUMETRIC_SCENE)
+    opts = cfgmod.RenderOptions(
+        width=16, height=8, max_steps=4000, max_radius=30.0, step_size=0.05,
+        camera_position=(-12.0, 0.0, -1.5), theta=1.52, psi=-1.57,
+    )
+    scene = cfgmod.create_scene(cfg, opts)
+    rr, cc = np.meshgrid(np.arange(8.0), np.arange(16.0), indexing="ij")
+    rf, cf = jnp.asarray(rr.ravel()), jnp.asarray(cc.ravel())
+    bucket = 2 * int(rf.size)
+
+    fused = fast_path.make_fast_vol_fused_tracer(scene, bucket, interpret=True)
+    c1, k1, s1, o1, n1 = (np.asarray(a) for a in jax.device_get(fused(scene, rf, cf)))
+    assert int(n1[0]) > 0 and int(n1[0]) <= bucket
+
+    # (a) parity vs the compact-wire host driver.
+    tracer = fast_path.make_fast_geo_compact_tracer(scene, 0, bucket, interpret=True)
+    rt._geo_compact_tracers[(id(scene), 0, bucket)] = (scene, tracer)
+    vspec = vp.build_vol_spec(scene.objects[0], scene.geometry)
+    kern = lambda *a: vp.raymarch(vspec, *a, interpret=True)
+    futs = rt._trace_chunk_split_compact_start(scene, np.asarray(rf), np.asarray(cf))
+    out = rt._trace_chunk_split_compact_finish(scene, int(rf.size), futs, 64, kern)
+    assert out is not None
+    color_c, klass_c, stop_c, _ = out
+    assert (np.asarray(stop_c) == s1).all()
+    assert (np.asarray(klass_c) == k1).all()
+    tone = lambda c: c / (1.0 + c)
+    err = np.abs(tone(np.asarray(color_c)[:, :3]) - tone(c1)).max()
+    # Identical kernels and fold; only f32 normalization/exit-distance op
+    # placement differs (host numpy vs on-device) — ulp-level, not the
+    # 2.5e-2 chord-detection budget of the lax-parity test.
+    assert err < 1e-5, err
+
+    # (b) 2-device mesh == single device, bitwise.
+    devs = jax.devices("cpu")[:2]
+    assert len(devs) == 2, "conftest provides 8 virtual CPU devices"
+    mesh = Mesh(np.asarray(devs), ("rays",))
+    fused2 = fast_path.make_fast_vol_fused_tracer(
+        scene, bucket, mesh=mesh, interpret=True
+    )
+    c2, k2, s2, o2, n2 = (np.asarray(a) for a in jax.device_get(fused2(scene, rf, cf)))
+    assert n2.shape == (2,) and int(n2.sum()) == int(n1[0])
+    np.testing.assert_array_equal(k2, k1)
+    np.testing.assert_array_equal(s2, s1)
+    np.testing.assert_array_equal(o2, o1)
+    # Per-lane kernel math is block-independent and classes are exact;
+    # colors agree to roundoff (XLA fuses the shading expressions
+    # differently at per-shard shapes — measured 1-ulp deltas on 0.8% of
+    # elements).
+    np.testing.assert_allclose(c2, c1, rtol=1e-12, atol=0.0)
+
+
+def test_march_length_jnp_matches_numpy():
+    """Device-side sort key (vp.march_length_jnp) == the numpy original on
+    random lanes, so the fused tracer's block assignment is the same
+    clipped-length policy the host driver used."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_volumetric_pallas import make_disc, make_inputs
+
+    from gr_raytracer_tpu.geometry.kerr import Kerr
+    from gr_raytracer_tpu.ops import volumetric_pallas as vp
+    from gr_raytracer_tpu.rendering.texture import BlackBodyMap
+
+    geometry = Kerr(
+        radius=jnp.asarray(1.0), a=jnp.asarray(0.499),
+        horizon_epsilon=jnp.asarray(1e-4),
+    )
+    disc = make_disc(BlackBodyMap.create(jnp.asarray(0.0)), geometry)
+    ro, rd, _, _, _, _, ed = make_inputs(disc, n=512, seed=5)
+    ref = vp.march_length(disc, np.asarray(ro), np.asarray(rd), np.asarray(ed))
+    got = np.asarray(vp.march_length_jnp(disc, ro, rd, ed))
+    np.testing.assert_allclose(got, ref, rtol=1e-10, atol=1e-12)
