@@ -139,6 +139,32 @@ def probe_ks_hero(rows=32, cols=64, max_steps=1_000_000):
     return scene, x, p
 
 
+def probe_bl_hero(rows=32, cols=64, max_steps=1_000_000):
+    """Deep-Mino KerrBL probe (r4 verdict item 6): vendored kerr-bl.toml
+    (a = 0.499 — near-extremal, where the Mino-potential vr² residuals are
+    RHS-bound and Kahan-immune) with the hero ring-framing camera and a
+    nominal 1e6 budget (the BL kernel doubles it as Mino steps). The f64
+    CPU reference integrates the SAME f32 rays."""
+    import jax.numpy as jnp
+
+    from gr_raytracer_tpu import config as cfgmod
+    from gr_raytracer_tpu.rendering import camera as cam
+    from gr_raytracer_tpu.utils import assets
+
+    cfg = cfgmod.load_config(assets.scene_path("kerr-bl.toml"))
+    opts = cfgmod.RenderOptions(
+        width=cols, height=rows, max_steps=max_steps, max_radius=1000.0,
+        camera_position=(-10.0, 0.0, -0.5), theta=1.52, psi=-1.57,
+    )
+    scene = cfgmod.create_scene_host(cfg, opts, jnp.float32)
+    rr, cc = jnp.meshgrid(
+        jnp.arange(rows, dtype=jnp.float32), jnp.arange(cols, dtype=jnp.float32),
+        indexing="ij",
+    )
+    x, p = cam.pixel_rays(scene.camera, rr.ravel(), cc.ravel())
+    return scene, x, p
+
+
 REF_PROBES = {
     "ks_flagship": probe_ks_flagship,
     "bl_default": probe_bl_default,

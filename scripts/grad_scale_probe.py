@@ -103,6 +103,7 @@ def main():
                     "camera tilt) at --fit3-size on the kernel-VJP path")
     ap.add_argument("--fit3-size", type=int, default=256)
     ap.add_argument("--fit3-steps", type=int, default=400)
+    ap.add_argument("--fit3-stage2-steps", type=int, default=200)
     ap.add_argument("--bl", action="store_true",
                     help="also measure the BL/Mino kernel-VJP (KerrBL grad "
                     "step + spin recovery at 128²)")
@@ -242,57 +243,100 @@ def main():
             "v_t": jnp.asarray(0.0, dtype),
             "theta": jnp.asarray(1.52, dtype),
         }
-        init_p = {
-            "u_a": jnp.asarray(inv_tanh(0.30), dtype),
-            "v_t": jnp.asarray(float(np.log(0.8)), dtype),
-            "theta": jnp.asarray(1.42, dtype),
-        }
         target3 = jax.device_get(jax.jit(render3)(true_p))
-        t0 = time.perf_counter()
-        fitted3, losses3 = inverse.fit(
-            render3, init_p, target3,
-            trainable=("u_a", "v_t", "theta"),
-            steps=args.fit3_steps,
-            # Cosine-decayed Adam: at a fixed lr the fit reaches the basin
-            # (~step 60-80) and then bounces out of it; decaying to ~1%
-            # lets the endgame settle instead of orbiting the minimum.
-            optimizer=optax.adam(
-                optax.cosine_decay_schedule(1e-2, args.fit3_steps, 0.01)
-            ),
-            # Pooled-only pyramid loss (see inverse.pyramid_image_loss):
-            # pixelwise-only puts the 0.1-rad tilt mis-start in a
-            # misregistration plateau (temperature collapsed, tilt overshot),
-            # and the raw pixel level's gradients are dominated by chaotic
-            # photon-ring pixels whose f32 linearization is untrustworthy —
-            # following them INCREASED the pixel loss. 4/16-pooled levels
-            # average that noise away while keeping sub-pooled-pixel
-            # sensitivity (pooling is linear in sub-pixel feature shifts).
-            loss_fn=inverse.pyramid_image_loss(rows3, cols3, (4, 16)),
-        )
-        fit3_s = time.perf_counter() - t0
-        a_rec3, t_rec3, th_rec3 = (float(v) for v in to_phys(fitted3))
+
+        def run_fit3(init_p):
+            """Two-stage schedule (r4 verdict item 7): stage A aligns
+            geometry on the coarse pyramid (4/16 pools — the r4 recipe);
+            stage B refines on a finer pyramid (2/8) at ~10× smaller lr.
+            The raw pixel level stays excluded in BOTH stages (chaotic
+            photon-ring pixels; r4 measured that following them INCREASES
+            the pixel loss). Convergence curve sampled every 10 steps."""
+            curve = []
+
+            def cb(stage_off):
+                def _cb(step, loss, params):
+                    if step % 10 == 0:
+                        a_c, t_c, th_c = (float(v) for v in to_phys(params))
+                        curve.append(
+                            [stage_off + step, round(abs(a_c - 0.45), 5),
+                             round(abs(t_c - 1e4), 1),
+                             round(abs(th_c - 1.52), 5)]
+                        )
+                return _cb
+
+            t0 = time.perf_counter()
+            mid, losses_a = inverse.fit(
+                render3, init_p, target3,
+                trainable=("u_a", "v_t", "theta"),
+                steps=args.fit3_steps,
+                # Cosine-decayed Adam: at a fixed lr the fit reaches the
+                # basin (~step 60-80) and then bounces out of it.
+                optimizer=optax.adam(
+                    optax.cosine_decay_schedule(1e-2, args.fit3_steps, 0.01)
+                ),
+                loss_fn=inverse.pyramid_image_loss(rows3, cols3, (4, 16)),
+                callback=cb(0),
+            )
+            fin, losses_b = inverse.fit(
+                render3, mid, target3,
+                trainable=("u_a", "v_t", "theta"),
+                steps=args.fit3_stage2_steps,
+                optimizer=optax.adam(
+                    optax.cosine_decay_schedule(1e-3, args.fit3_stage2_steps, 0.02)
+                ),
+                loss_fn=inverse.pyramid_image_loss(rows3, cols3, (2, 8)),
+                callback=cb(args.fit3_steps),
+            )
+            wall = time.perf_counter() - t0
+            a_r, t_r, th_r = (float(v) for v in to_phys(fin))
+            return {
+                "recovered": {
+                    "a": round(a_r, 5),
+                    "disc_temperature": round(t_r, 1),
+                    "camera_theta": round(th_r, 5),
+                },
+                "abs_errors": {
+                    "a": round(abs(a_r - 0.45), 5),
+                    "disc_temperature": round(abs(t_r - 1e4), 1),
+                    "camera_theta": round(abs(th_r - 1.52), 5),
+                },
+                "stage_a_loss": [losses_a[0], losses_a[-1]],
+                "stage_b_loss": [losses_b[0], losses_b[-1]],
+                "wall_clock_s": round(wall, 1),
+                "curve_step_abserr_a_T_theta": curve,
+            }
+
+        starts = {
+            "start1": {
+                "u_a": jnp.asarray(inv_tanh(0.30), dtype),
+                "v_t": jnp.asarray(float(np.log(0.8)), dtype),
+                "theta": jnp.asarray(1.42, dtype),
+            },
+            # Opposite-side start (overshoot in every coordinate): the
+            # robustness check the r4 verdict asked for.
+            "start2": {
+                "u_a": jnp.asarray(inv_tanh(0.40), dtype),
+                "v_t": jnp.asarray(float(np.log(1.2)), dtype),
+                "theta": jnp.asarray(1.62, dtype),
+            },
+        }
         out["fit3"] = {
             "resolution": f"{rows3}x{cols3}",
             "max_steps": steps3,
             "reverse_mode": "kernel-vjp",
-            "steps": args.fit3_steps,
+            "schedule": f"two-stage: {args.fit3_steps} @ pools(4,16) lr 1e-2 "
+                        f"cos -> {args.fit3_stage2_steps} @ pools(2,8) lr 1e-3 cos",
             "true": {"a": 0.45, "disc_temperature": 10000.0, "camera_theta": 1.52},
-            "init": {"a": 0.30, "disc_temperature": 8000.0, "camera_theta": 1.42},
-            "recovered": {
-                "a": round(a_rec3, 5),
-                "disc_temperature": round(t_rec3, 1),
-                "camera_theta": round(th_rec3, 5),
+            "init": {
+                "start1": {"a": 0.30, "disc_temperature": 8000.0, "camera_theta": 1.42},
+                "start2": {"a": 0.40, "disc_temperature": 12000.0, "camera_theta": 1.62},
             },
-            "abs_errors": {
-                "a": round(abs(a_rec3 - 0.45), 5),
-                "disc_temperature": round(abs(t_rec3 - 1e4), 1),
-                "camera_theta": round(abs(th_rec3 - 1.52), 5),
-            },
-            "loss_first": losses3[0],
-            "loss_last": losses3[-1],
-            "wall_clock_s": round(fit3_s, 1),
         }
-        print(f"[fit3] {out['fit3']}", flush=True)
+        for tag, init_p in starts.items():
+            out["fit3"][tag] = run_fit3(init_p)
+            print(f"[fit3:{tag}] {out['fit3'][tag]['abs_errors']} "
+                  f"({out['fit3'][tag]['wall_clock_s']}s)", flush=True)
 
     # --- BL/Mino kernel-VJP stanza (r4: make_bl_march_diff) ---------------
     if args.bl:

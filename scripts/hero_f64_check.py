@@ -35,7 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 DOCS = os.path.join(os.path.dirname(__file__), "..", "docs")
 
 
-def dump(path):
+def dump(path, probe="ks"):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -50,7 +50,7 @@ def dump(path):
     # f64 with the reference-default 20k budget — every escaped lane
     # retires far below it; trapped lanes stop at BUDGET and are excluded
     # from the comparison by the stop-agreement mask.
-    scene, x, p = fa.probe_ks_hero()
+    scene, x, p = (fa.probe_ks_hero if probe == "ks" else fa.probe_bl_hero)()
     scene64 = fa._upcast(scene)
     scene64 = scene64.replace(
         integration=scene64.integration.replace(max_steps=20000)
@@ -73,7 +73,7 @@ def dump(path):
     print(f"wrote {path}")
 
 
-def check(path):
+def check(path, probe="ks"):
     import jax
 
     jax.config.update(
@@ -92,7 +92,7 @@ def check(path):
     cfgmod.enable_host_cpu_platform()
     assert jax.default_backend() == "tpu"
     ref = np.load(path)
-    scene, x, p = fa.probe_ks_hero()
+    scene, x, p = (fa.probe_ks_hero if probe == "ks" else fa.probe_bl_hero)()
     assert np.abs(np.asarray(x) - ref["x"]).max() == 0.0, "ray mismatch"
 
     out = {}
@@ -118,14 +118,19 @@ def check(path):
 
     doc = os.path.join(DOCS, "compensated_drift.json")
     data = json.load(open(doc))
-    data["f64_reference"] = {
-        "budget": 20000,
-        "note": "f64 lax CPU reference on the same f32 camera rays; every "
+    key = "f64_reference" if probe == "ks" else "f64_reference_bl"
+    note = (
+        "f64 lax CPU reference on the same f32 camera rays; every "
         "escaped lane retires <<20k steps (kernel steps_max ~120 under "
         "far-field acceleration), so this bounds the drift's tone impact "
-        "directly for every shading-relevant lane",
-        **out,
-    }
+        "directly for every shading-relevant lane"
+        if probe == "ks"
+        else "KerrBL a=0.499 deep-Mino probe (kerr-bl.toml, ring camera): "
+        "f64 lax CPU reference on the same f32 rays — the direct tone-error "
+        "bound for the BL branch, whose photon-ring Mino-potential vr2 "
+        "residuals are RHS-bound and Kahan-immune (r4 NOTES)"
+    )
+    data[key] = {"budget": 20000, "note": note, **out}
     with open(doc, "w") as f:
         json.dump(data, f, indent=1)
     print(f"updated {doc}")
@@ -135,11 +140,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dump", metavar="PATH.npz")
     ap.add_argument("--check", metavar="PATH.npz")
+    ap.add_argument("--probe", choices=("ks", "bl"), default="ks")
     args = ap.parse_args()
     if args.dump:
-        dump(args.dump)
+        dump(args.dump, args.probe)
     if args.check:
-        check(args.check)
+        check(args.check, args.probe)
 
 
 if __name__ == "__main__":
