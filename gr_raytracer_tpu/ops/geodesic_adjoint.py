@@ -126,19 +126,95 @@ def _disc_payload(discs, ev_kind0, y, y_new):
     return frac, px, py, u, v
 
 
-def _step_with_payload(discs, h0, h_min_frac, r_ref_scale, r_safe,
-                       ev_kind0, radius, a, y, active):
+def _sphere_payload(spheres, ev_kind0, y, y_new):
+    """Slot-0 sphere-crossing payload of the step (y → y_new), as stored by
+    geodesic_pallas._store_sphere_events: world-space crossing point,
+    crossing fraction t, local-frame spherical UV. Every division/sqrt is
+    guarded so lanes whose slot-0 event is NOT this sphere contribute
+    exact zeros under their masked cotangents (same discipline as
+    _disc_payload)."""
+    s3 = y[1:4]
+    d = y_new[1:4] - y[1:4]
+    sp0 = spheres[0]
+    t_sel = jnp.zeros_like(y[0])
+    wx = jnp.zeros_like(y[0])
+    wy = jnp.zeros_like(y[0])
+    wz = jnp.zeros_like(y[0])
+    u_sel = jnp.zeros_like(y[0])
+    v_sel = jnp.zeros_like(y[0])
+    for sp in spheres:
+        s_loc = jnp.stack([s3[0] - sp.cx, s3[1] - sp.cy, s3[2] - sp.cz], axis=0)
+        a_q = jnp.sum(d * d, axis=0)
+        b_q = 2.0 * jnp.sum(s_loc * d, axis=0)
+        c_q = jnp.sum(s_loc * s_loc, axis=0) - sp.radius * sp.radius
+        disc = b_q * b_q - 4.0 * a_q * c_q
+        # max guard keeps d√ finite where disc ≈ 0 (grazing); the kernel's
+        # t-selection (prefer the + root, in-[0,1] precondition) is a
+        # locally-constant discrete choice, replayed here on values.
+        sq = jnp.sqrt(jnp.maximum(disc, 1e-30))
+        safe_a = jnp.where(jnp.abs(a_q) > 1e-30, a_q, 1.0)
+        t1 = (-b_q + sq) / (2.0 * safe_a)
+        t2 = (-b_q - sq) / (2.0 * safe_a)
+        t1_ok = (t1 >= 0.0) & (t1 <= 1.0)
+        t = jnp.where(t1_ok, t1, t2)
+        local = s_loc + t[None] * d
+        r_loc = jnp.sqrt(jnp.maximum(jnp.sum(local * local, axis=0), 1e-30))
+        cos_th = jnp.clip(local[2] / r_loc, -1.0, 1.0)
+        sin_th = jnp.sqrt(jnp.maximum(1.0 - cos_th * cos_th, 1e-30))
+        # NOT _atan2(sin, cos): its y/x division sits exactly at x = 0 for
+        # a frozen lane's equatorial benign state, and d(y/x) = inf there —
+        # 0·inf NaN-poisons every frozen lane's λ (vjp sprays through the
+        # untaken where-branch). sin_th > 0 strictly (clamped sqrt), so
+        # θ = π/2 − atan(cos/sin) is the same value with a never-zero
+        # denominator; the composition's derivative is well-conditioned at
+        # both poles (atan'(u) ~ 1/u² cancels d(c/s)'s 1/s² growth).
+        theta = jnp.pi / 2.0 - gp._atan(cos_th / sin_th)
+        phi = gp._atan2(local[1], local[0])
+        u = 1.0 - (jnp.pi + phi) / (2.0 * jnp.pi)
+        v = theta / jnp.pi
+        if sp is sp0:
+            t_sel, wx, wy, wz, u_sel, v_sel = (
+                t, local[0] + sp.cx, local[1] + sp.cy, local[2] + sp.cz, u, v
+            )
+        else:
+            sel = ev_kind0 == sp.kind
+            t_sel = jnp.where(sel, t, t_sel)
+            wx = jnp.where(sel, local[0] + sp.cx, wx)
+            wy = jnp.where(sel, local[1] + sp.cy, wy)
+            wz = jnp.where(sel, local[2] + sp.cz, wz)
+            u_sel = jnp.where(sel, u, u_sel)
+            v_sel = jnp.where(sel, v, v_sel)
+    return t_sel, wx, wy, wz, u_sel, v_sel
+
+
+def _step_with_payload(discs, spheres, h0, h_min_frac, r_ref_scale, r_safe,
+                       ev_kind0, is_sphere, radius, a, y, active):
     """The per-iteration map G: y ↦ (y_new, slot-0 payload). The payload is
     computed for every lane (cotangent-masked by the caller); its divisions
-    are guarded so inactive/benign lanes contribute exact zeros."""
+    are guarded so inactive/benign lanes contribute exact zeros. With both
+    object families present, per-lane selection by the recorded slot-0
+    kind (is_sphere) picks which payload the cotangent lands on."""
     y_new = _masked_step(radius, a, h0, h_min_frac, r_ref_scale, r_safe, y, active)
-    frac, px, py, u, v = _disc_payload(discs, ev_kind0, y, y_new)
     p_prev = gp._momentum_contra(radius, a, y)
     p_new = gp._momentum_contra(radius, a, y_new)
-    p_interp = p_prev + frac[None] * (p_new - p_prev)
     seg = y_new[1:4] - y[1:4]
+    if discs:
+        frac, px, py, u, v = _disc_payload(discs, ev_kind0, y, y_new)
+        pz = jnp.zeros_like(px)
+    if spheres:
+        t_s, wx, wy, wz, u_s, v_s = _sphere_payload(spheres, ev_kind0, y, y_new)
+        if discs:
+            frac = jnp.where(is_sphere, t_s, frac)
+            px = jnp.where(is_sphere, wx, px)
+            py = jnp.where(is_sphere, wy, py)
+            pz = jnp.where(is_sphere, wz, pz)
+            u = jnp.where(is_sphere, u_s, u)
+            v = jnp.where(is_sphere, v_s, v)
+        else:
+            frac, px, py, pz, u, v = t_s, wx, wy, wz, u_s, v_s
+    p_interp = p_prev + frac[None] * (p_new - p_prev)
     payload = jnp.concatenate(
-        [px[None], py[None], jnp.zeros_like(px)[None], p_interp, u[None], v[None], seg],
+        [px[None], py[None], pz[None], p_interp, u[None], v[None], seg],
         axis=0,
     )  # [12, SUB, LANE]
     return y_new, payload
@@ -161,6 +237,7 @@ def _bwd_kernel(
     k_ckpt: int,
     attempts: int,
     discs: tuple,
+    spheres: tuple,
     h0: float,
     h_min_frac: float,
     r_ref_scale: float,
@@ -173,6 +250,9 @@ def _bwd_kernel(
     grad_ok = gradok_ref[:, :] != 0
     has_ev = hasev_ref[:, :] != 0
     ev_kind0 = evkind_ref[:, :]
+    is_sphere = jnp.zeros_like(ev_kind0, jnp.bool_)
+    for sp in spheres:
+        is_sphere = is_sphere | (ev_kind0 == sp.kind)
 
     @pl.when(j == 0)
     def _():
@@ -236,8 +316,8 @@ def _bwd_kernel(
             y_eval = jnp.where(act[None], y_g, safe_state)
 
             fn = functools.partial(
-                _step_with_payload, discs, h0, h_min_frac, r_ref_scale, r_safe,
-                ev_kind0,
+                _step_with_payload, discs, spheres, h0, h_min_frac, r_ref_scale,
+                r_safe, ev_kind0, is_sphere,
             )
             # Differentiate w.r.t. BROADCAST parameter tiles, not scalars:
             # jax.vjp of a scalar parameter returns the partial already
@@ -291,7 +371,8 @@ def make_ks_march_diff(
     *,
     h0: float,
     max_steps: int,
-    discs: tuple,
+    discs: tuple = (),
+    spheres: tuple = (),
     r_safe: float,
     h_min_frac: float = 0.01,
     r_ref_scale: float = 10.0,
@@ -306,9 +387,12 @@ def make_ks_march_diff(
     (slots ≥ 1 are never shaded under opaque_stop — their cotangents are
     structurally zero and asserted away by the caller). horizon_eps and
     max_radius only move discrete stop decisions — zero cotangent.
-    """
-    if not discs:
-        raise ValueError("diff march needs at least one disc (flagship shape)")
+    Covers thin discs AND spheres (sphere.rs:62-128): both record their
+    slot-0 payload at the lane's stop step under opaque_stop, so one
+    injection point serves both (per-lane kind selection in
+    _step_with_payload)."""
+    if not discs and not spheres:
+        raise ValueError("diff march needs at least one disc or sphere")
     n_seg = -(-int(max_steps) // int(k_ckpt))
     static = dict(
         h0=float(h0), h_min_frac=float(h_min_frac), r_ref_scale=float(r_ref_scale),
@@ -319,7 +403,8 @@ def make_ks_march_diff(
         out = gp.kerr_rk4_march(
             radius, a, horizon_eps, y0,
             h0=h0, max_steps=max_steps, max_radius=max_radius,
-            discs=discs, h_min_frac=h_min_frac, r_ref_scale=r_ref_scale,
+            discs=discs, spheres=spheres, h_min_frac=h_min_frac,
+            r_ref_scale=r_ref_scale,
             r_safe=r_safe, opaque_stop=True, interpret=interpret,
             ckpt_every=k_ckpt,
         )
@@ -370,7 +455,7 @@ def make_ks_march_diff(
         )
         kernel = functools.partial(
             _bwd_kernel, n_seg=n_seg, k_ckpt=k_ckpt, attempts=int(max_steps),
-            discs=discs, **static,
+            discs=discs, spheres=spheres, **static,
         )
         lam, dp = pl.pallas_call(
             kernel,

@@ -424,20 +424,24 @@ def trace_rays_fast(scene, positions, momenta, interpret: bool = False, spec=Non
 
 
 def supports_diff(scene) -> bool:
-    """Kernel-VJP coverage (ops/geodesic_adjoint.py): Kerr (KS chart),
-    KerrBL or Schwarzschild (both served by the BL/Mino kernel,
-    _march_geometry_of) with thin discs only, every texture statically
-    opaque (slot-0 shading is then exact, so the adjoint injects exactly
-    one payload cotangent per lane at its stop step). Everything else
-    keeps the lax `differentiable=True` path."""
+    """Kernel-VJP coverage (ops/geodesic_adjoint.py): every texture
+    statically opaque (slot-0 shading is then exact, so the adjoint
+    injects exactly one payload cotangent per lane at its stop step), and
+      * Kerr (KS chart): thin discs AND spheres (the KS adjoint computes
+        both payloads, per-lane kind-selected), or
+      * KerrBL / Schwarzschild (served by the BL/Mino kernel,
+        _march_geometry_of): thin discs only — the BL adjoint has no
+        sphere payload yet.
+    Everything else keeps the lax `differentiable=True` path."""
     from gr_raytracer_tpu.geometry.kerr import Kerr
 
-    return (
-        isinstance(scene.geometry, (Kerr, KerrBL, Schwarzschild))
-        and bool(scene.objects)
-        and all(isinstance(o, Disc) for o in scene.objects)
-        and scene_kernel_spec(scene).opaque
-    )
+    if not scene.objects or not scene_kernel_spec(scene).opaque:
+        return False
+    if isinstance(scene.geometry, Kerr):
+        return all(isinstance(o, (Disc, Sphere)) for o in scene.objects)
+    if isinstance(scene.geometry, (KerrBL, Schwarzschild)):
+        return all(isinstance(o, Disc) for o in scene.objects)
+    return False
 
 
 def trace_rays_fast_diff(
@@ -493,6 +497,7 @@ def trace_rays_fast_diff(
             h0=1.0,
             max_steps=cfg.max_steps,
             discs=spec.discs,
+            spheres=spec.spheres,
             r_safe=spec.r_safe,
             interpret=interpret,
             **({"k_ckpt": k_ckpt} if k_ckpt else {}),

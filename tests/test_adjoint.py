@@ -190,3 +190,108 @@ def test_bl_kernel_vjp_matches_finite_differences(bl_loss_fn, name, eps):
     denom = max(abs(fd), 1e-12)
     rel = abs(g - fd) / denom
     assert rel < 5e-5, f"{name}: vjp={g} fd={fd} rel={rel}"
+
+
+# ---------------------------------------------------------------------------
+# KS march adjoint over SPHERE events (r4 verdict item 8): the vendored
+# kerr-sphere.toml — a MIXED disc+sphere scene with opaque bitmap textures
+# on the KS chart, so the per-lane slot-0 kind selection in
+# _step_with_payload is exercised for real (some lanes' cotangents land on
+# the sphere payload, others on the disc payload).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def sphere_loss_fn():
+    from gr_raytracer_tpu import config as cfgmod
+    from gr_raytracer_tpu.geometry.kerr import Kerr
+    from gr_raytracer_tpu.utils import assets
+
+    cfg = cfgmod.load_config(assets.scene_path("kerr-sphere.toml"))
+    # Framing chosen so the 4×8 probe records BOTH kinds in slot 0
+    # (2 disc + 2 sphere lanes at this tilt; the hero tilt sees only the
+    # sphere at this resolution).
+    opts = cfgmod.RenderOptions(
+        width=COLS, height=ROWS, max_steps=400, max_radius=30.0,
+        camera_position=(-10.0, 0.0, -2.5), theta=1.35, psi=-1.57,
+    )
+    scene = cfgmod.create_scene_host(cfg, opts, jnp.float64)
+    # The vendored file ships radius = 0 (flat space); give it the probe's
+    # black hole BEFORE the spec/framing is fixed, so the recorded kinds
+    # match the differentiated configuration.
+    scene = scene.replace(
+        geometry=Kerr(
+            radius=jnp.asarray(1.0, jnp.float64),
+            a=jnp.asarray(0.499, jnp.float64),
+            horizon_epsilon=scene.geometry.horizon_epsilon,
+        )
+    )
+    assert fast_path.supports_diff(scene)
+    spec = fast_path.scene_kernel_spec(scene)
+    assert spec.spheres and spec.discs  # the mixed shape is the point
+    rr, cc = jnp.meshgrid(
+        jnp.arange(ROWS, dtype=jnp.float64),
+        jnp.arange(COLS, dtype=jnp.float64),
+        indexing="ij",
+    )
+    rf, cf = rr.ravel(), cc.ravel()
+    x0, p0 = cam.pixel_rays(scene.camera, rf, cf)
+    rng = np.random.default_rng(11)
+    w = jnp.asarray(rng.uniform(0.5, 1.5, (ROWS * COLS, 3)))
+    base = {
+        "radius": jnp.asarray(1.0, jnp.float64),
+        "a": jnp.asarray(0.499, jnp.float64),
+        "dth": jnp.asarray(0.0, jnp.float64),
+    }
+
+    def loss(params):
+        geo = Kerr(
+            radius=params["radius"], a=params["a"],
+            horizon_epsilon=scene.geometry.horizon_epsilon,
+        )
+        s2 = scene.replace(geometry=geo)
+        x = x0.at[:, 2].add(params["dth"])
+        s = fast_path.trace_rays_fast_diff(
+            s2, x, p0, interpret=True, spec=spec, k_ckpt=K_CKPT
+        )
+        c = s.color[..., :3]
+        return jnp.sum(w * (c / (1.0 + c)))
+
+    return base, scene, spec, x0, p0, loss
+
+
+def test_sphere_diff_path_hits_both_object_kinds(sphere_loss_fn):
+    from gr_raytracer_tpu.rendering import scene as scn
+
+    base, scene, spec, x0, p0, loss = sphere_loss_fn
+    s = fast_path.trace_rays_fast_diff(
+        scene, x0, p0, interpret=True, spec=spec, k_ckpt=K_CKPT
+    )
+    # The probe must actually shade sphere lanes AND disc lanes, or the
+    # kind selection is untested. Re-derive slot-0 kinds via the geometric
+    # trace (same kernel config).
+    g = fast_path.trace_geometric_fast(scene, x0, p0, interpret=True, spec=spec)
+    kinds = np.asarray(g.ev_kind[:, 0])
+    sphere_idx = {sp.kind for sp in spec.spheres}
+    disc_idx = {d.kind for d in spec.discs}
+    present = set(kinds[kinds >= 0].tolist())
+    assert present & sphere_idx, "no sphere lane in the probe framing"
+    assert present & disc_idx, "no disc lane in the probe framing"
+    classes = np.asarray(s.ray_class)
+    assert (classes == scn.HIT).any()
+
+
+@pytest.mark.parametrize("name,eps", [("a", 1e-6), ("radius", 1e-6), ("dth", 1e-6)])
+def test_sphere_kernel_vjp_matches_finite_differences(sphere_loss_fn, name, eps):
+    base, _, _, _, _, loss = sphere_loss_fn
+    grads = jax.grad(loss)(base)
+    g = float(np.asarray(grads[name]))
+    perturb = lambda s: dict(base, **{name: base[name] + s})
+    fd = (float(loss(perturb(eps))) - float(loss(perturb(-eps)))) / (2 * eps)
+    assert np.isfinite(g) and np.isfinite(fd)
+    denom = max(abs(fd), 1e-12)
+    rel = abs(g - fd) / denom
+    # Bitmap textures are piecewise-bilinear: an FD step that crosses a
+    # texel corner carries an O(1) second-derivative kink, slightly looser
+    # than the blackbody scenes' 5e-5.
+    assert rel < 5e-4, f"{name}: vjp={g} fd={fd} rel={rel}"
