@@ -521,8 +521,12 @@ def main():
             target_v,
             trainable=("log_dm", "log_ab"),
             steps=args.vol_fit_steps,
-            optimizer=optax.adam(
-                optax.cosine_decay_schedule(5e-2, args.vol_fit_steps, 0.02)
+            # Same clip-then-Adam recipe as fit3 (spike-robust descent).
+            optimizer=optax.chain(
+                optax.clip_by_global_norm(1.0),
+                optax.adam(
+                    optax.cosine_decay_schedule(5e-2, args.vol_fit_steps, 0.02)
+                ),
             ),
         )
         fitv_s = time.perf_counter() - t0

@@ -294,3 +294,109 @@ def test_multi_process_halo_aa_hybrid_render(tmp_path):
     np.testing.assert_array_equal(
         np.concatenate([s0["ray_class"], s1["ray_class"]], axis=0), ref["ray_class"]
     )
+
+
+def test_multi_process_volumetric_render(tmp_path):
+    """The parallelism contract covers VOLUMETRIC workloads too (r4 verdict
+    item 5 / SURVEY §2.5): two OS processes with jax.distributed each
+    render a disjoint row section of a Schwarzschild volumetric scene and
+    the stitch equals the single-process frame bit-for-bit. (On CPU the
+    driver takes the lax split path; the fused kernel driver's 2-device
+    mesh equality is pinned separately by
+    test_raytracer.test_fused_split_tracer_matches_compact_and_shards.)"""
+    import os
+    import socket
+    import subprocess
+    import sys as _sys
+
+    scene_toml = tmp_path / "scene.toml"
+    scene_toml.write_text(
+        """
+celestial_temperature = 0.0
+
+[geometry_type.Schwarzschild]
+radius = 1.0
+horizon_epsilon = 1e-4
+
+[celestial_texture.Checker]
+beaming_exponent = 0.0
+width = 10.0
+height = 10.0
+color1 = [0, 255, 0]
+color2 = [0, 100, 0]
+
+[adaptive_sampling]
+enabled = false
+
+[[objects]]
+[objects.VolumetricDisc]
+inner_radius = 3.0
+outer_radius = 6.0
+temperature = 5000.0
+num_octaves = 2
+perlin_seed = 42
+max_steps = 800
+step_size = 0.02
+thickness = 0.1
+density_multiplier = 300.0
+brightness_reference_temperature = 1000.0
+absorption = 0.3
+scattering = 0.4
+noise_scale = [2.0, 2.0, 2.0]
+noise_offset = 0.4
+[objects.VolumetricDisc.texture.BlackBody]
+beaming_exponent = 0.0
+"""
+    )
+    env = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": "/root/repo"}
+    env.pop("XLA_FLAGS", None)
+    base = [
+        _sys.executable, "-m", "gr_raytracer_tpu",
+        "--f64", "--width", "8", "--height", "8",
+        "--max-steps", "400", "--max-radius", "30.0", "--step-size", "0.05",
+        "--camera-position=-10.0,0.0,-1.5", "--theta=1.45", "--psi=-1.57",
+        "-c", str(scene_toml),
+    ]
+    run_kw = dict(env=env, cwd=str(tmp_path), timeout=600, capture_output=True, text=True)
+
+    full = subprocess.run(
+        base + ["render", "--raw-section", str(tmp_path / "full.npz")], **run_kw
+    )
+    assert full.returncode == 0, full.stderr[-2000:]
+
+    sock = socket.socket()
+    sock.bind(("localhost", 0))
+    port = sock.getsockname()[1]
+    sock.close()
+    procs = []
+    for pid in range(2):
+        cmd = base + [
+            "--coordinator", f"localhost:{port}",
+            "--num-processes", "2", "--process-id", str(pid),
+            "render",
+            "--from-row", str(4 * pid), "--to-row", str(4 * pid + 4),
+            "--raw-section", str(tmp_path / f"sec{pid}.npz"),
+        ]
+        procs.append(
+            subprocess.Popen(
+                cmd, env=env, cwd=str(tmp_path),
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            )
+        )
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        outs.append((p.returncode, out, err))
+    assert all(rc == 0 for rc, _, _ in outs), outs
+
+    ref = np.load(tmp_path / "full.npz")
+    s0 = np.load(tmp_path / "sec0.npz")
+    s1 = np.load(tmp_path / "sec1.npz")
+    # The frame must actually contain volumetric emission, or the test says
+    # nothing about the raymarch path.
+    assert float(ref["color"][..., :3].max()) > 0.0
+    stitched = np.concatenate([s0["color"], s1["color"]], axis=0)
+    np.testing.assert_array_equal(stitched, ref["color"])
+    np.testing.assert_array_equal(
+        np.concatenate([s0["ray_class"], s1["ray_class"]], axis=0), ref["ray_class"]
+    )
