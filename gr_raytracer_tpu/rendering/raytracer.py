@@ -461,12 +461,28 @@ def _trace_chunk_split_fused_start(scene, rf, cf, put, mesh, bucket):
     return entry[1](scene, put(rf), put(cf))
 
 
+# Sticky bucket hint, keyed by (id(scene), chunk lane count): once a chunk
+# overflows bucket 2n and succeeds at a bigger one, subsequent chunks of the
+# same render START at that bucket. At the 1500² hero, 67 of 203 chunks (the
+# disc-band AA chunks, averaging >2 crossings/sub-ray) overflowed 2n and
+# paid a full doubled-bucket rerun — 38.5 s of the 120.4 s frame
+# (docs/hero5_decomp_full.json). The hint trades that for one extra (cached)
+# compile and a little padding on post-escalation chunks. Monotonic per key;
+# cleared only by cache-size eviction.
+_fused_bucket_hint: dict = {}
+
+
+def _fused_hint_key(scene, n):
+    return (id(scene), int(n))
+
+
 def _trace_chunk_split_fused_finish(scene, futs, mesh, bucket, rf, cf, put):
     """Drain a fused chunk. On compact-bucket overflow (a disc-band AA
     chunk averaging >bucket/n crossings per sub-ray) retry the SAME fused
     tracer at double the bucket — one extra (cached) compile per size, far
     cheaper than the host-compact/full-wire fallback; the unfused path
-    remains the final resort."""
+    remains the final resort. A successful retry records its bucket in
+    _fused_bucket_hint so later chunks skip the failed first attempt."""
     timing = _SPLIT_TIMING_ON
     t0 = time.perf_counter() if timing else 0.0
     c, k, stop, ovf, count = (np.asarray(a) for a in jax.device_get(futs))
@@ -474,15 +490,29 @@ def _trace_chunk_split_fused_finish(scene, futs, mesh, bucket, rf, cf, put):
         _t_acc("fused_drain", t0)
     n_dev = 1 if mesh is None else int(mesh.devices.size)
     if (count > -(-bucket // n_dev)).any():
+        t0r = time.perf_counter() if timing else 0.0
         retry = 2 * bucket
         # K_EVENTS caps per-ray crossings, so bucket K·n always suffices.
         k_slots = scene.integration.max_events
         if retry < k_slots * rf.size:
             futs2 = _trace_chunk_split_fused_start(scene, rf, cf, put, mesh, retry)
-            return _trace_chunk_split_fused_finish(
+            out = _trace_chunk_split_fused_finish(
                 scene, futs2, mesh, retry, rf, cf, put
             )
-        return _trace_chunk_split(scene, rf, cf, put=put)
+            # Deeper retries record their own (larger) bucket first; max
+            # keeps the deepest one that was needed.
+            key = _fused_hint_key(scene, rf.size)
+            if len(_fused_bucket_hint) > 32:
+                _fused_bucket_hint.clear()
+            _fused_bucket_hint[key] = max(_fused_bucket_hint.get(key, 0), retry)
+        else:
+            out = _trace_chunk_split(scene, rf, cf, put=put)
+        if timing:
+            # Includes the doubled-bucket tracer's first-call tracing +
+            # compile-cache load + full re-execution (nested drains also
+            # accrue to fused_drain — overlap is expected).
+            _t_acc("fused_retry", t0r)
+        return out
     return c, k, stop, ovf
 
 
@@ -546,6 +576,10 @@ def _t_acc(key, t0):
     SPLIT_TIMING[key] = SPLIT_TIMING.get(key, 0.0) + (t1 - t0)
     n_key = "n_" + key
     SPLIT_TIMING[n_key] = SPLIT_TIMING.get(n_key, 0) + 1
+    # Per-key max separates one-time costs (first-call jaxpr tracing /
+    # persistent-cache executable load) from per-chunk steady state.
+    m_key = "max_" + key
+    SPLIT_TIMING[m_key] = max(SPLIT_TIMING.get(m_key, 0.0), t1 - t0)
     return t1
 
 
@@ -941,10 +975,10 @@ def trace_pixels_chunked(
     pending_c = None
 
     def _drain_compact(chunk):
-        start, end, m, rf, cf, futs = chunk
+        start, end, m, rf, cf, futs, bucket = chunk
         if fused_pipe:
             out = _trace_chunk_split_fused_finish(
-                scene, futs, mesh, 2 * rf.size, rf, cf, put
+                scene, futs, mesh, bucket, rf, cf, put
             )
         else:
             out = _trace_chunk_split_compact_finish(
@@ -966,14 +1000,29 @@ def trace_pixels_chunked(
         rf[:m] = row_f[start:end]
         cf[:m] = col_f[start:end]
         if fused_pipe:
-            nxt = (start, end, m, rf, cf,
-                   _trace_chunk_split_fused_start(scene, rf, cf, put, mesh, 2 * chunk_size))
+            t0 = time.perf_counter() if _SPLIT_TIMING_ON else 0.0
+            bucket = max(
+                2 * chunk_size,
+                _fused_bucket_hint.get(_fused_hint_key(scene, chunk_size), 0),
+            )
+            futs = _trace_chunk_split_fused_start(scene, rf, cf, put, mesh, bucket)
+            if _SPLIT_TIMING_ON:
+                # Enqueue SHOULD be asynchronous (futures come back before
+                # the device finishes); if the tunnel's dispatch queue
+                # back-pressures, device compute time surfaces here rather
+                # than in fused_drain — keep both keys to tell them apart.
+                _t_acc("enqueue", t0)
+            nxt = (start, end, m, rf, cf, futs, bucket)
             if pending_c is not None:
                 _drain_compact(pending_c)
             pending_c = nxt
             continue
         if compact_pipe:
-            nxt = (start, end, m, rf, cf, _trace_chunk_split_compact_start(scene, rf, cf))
+            t0 = time.perf_counter() if _SPLIT_TIMING_ON else 0.0
+            futs = _trace_chunk_split_compact_start(scene, rf, cf)
+            if _SPLIT_TIMING_ON:
+                _t_acc("enqueue", t0)
+            nxt = (start, end, m, rf, cf, futs, 0)
             if pending_c is not None:
                 _drain_compact(pending_c)
             pending_c = nxt
